@@ -1,0 +1,58 @@
+"""Run configuration.
+
+Mirrors the reference's ``HartreeFockConfig { max_iterations, epsilon }``
+(/root/reference/core/src/hf/mod.rs:9-15) and extends it with the knobs the
+reference hard-codes or ignores: DIIS window (rhf.rs:65, uhf.rs:76-78),
+density mixing factor (rhf.rs:80-82), convergence metric (rhf.rs:87-88 uses
+the diagonal of the density change only), charge / spin multiplicity
+(accepted-but-ignored at qchem-cli/src/main.rs:111-117), and the TPU-side
+options (screening threshold, direct vs in-core Fock, sharding mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class HartreeFockConfig:
+    #: maximum number of SCF iterations. NOTE the reference iterates
+    #: ``0..=max_iterations`` (rhf.rs:66), i.e. max_iterations+1 passes; we
+    #: reproduce that bound for parity.
+    max_iterations: int = 100
+    #: convergence threshold on the density RMS (reference default 1e-6,
+    #: qchem-cli/src/main.rs:36-37).
+    epsilon: float = 1e-6
+    #: convergence metric. "diag_rms" reproduces the reference quirk of using
+    #: only the diagonal of the density change (rhf.rs:87-88); "full_rms" uses
+    #: the full-matrix RMS. Both reach the same fixed point; only the stopping
+    #: iteration differs.
+    convergence_metric: str = "diag_rms"
+    #: density mixing factor; reference uses 1.0 i.e. no damping (rhf.rs:80).
+    mixing_factor: float = 1.0
+    #: DIIS window (min history before extrapolation kicks in, max history
+    #: kept). Reference: RHF Diis::new(4, 6) (rhf.rs:65), UHF Diis::new(2, 8)
+    #: (uhf.rs:76-78). None selects those per-method defaults.
+    diis_min: Optional[int] = None
+    diis_max: Optional[int] = None
+    #: total molecular charge. The reference always uses sum of ordinals
+    #: (rhf.rs:36) — i.e. charge 0.
+    charge: int = 0
+    #: spin multiplicity 2S+1. 0 means "reference-compatible": RHF pairs all
+    #: electrons; UHF forces n_alpha = n_beta = n_elec/2 exactly like
+    #: uhf.rs:43-45 (even for odd electron counts, where it drops an
+    #: electron — documented quirk).
+    spin_multiplicity: int = 0
+    #: Schwarz screening threshold for shell-quartet batches (0 disables).
+    screening_threshold: float = 1e-12
+    #: "incore" materializes the (screened) ERI tensor once; "direct" rebuilds
+    #: screened J/K every iteration without storing ERIs (for systems whose
+    #: ERI tensor exceeds HBM).
+    fock_mode: str = "incore"
+
+    def diis_window(self, default_min: int, default_max: int) -> tuple[int, int]:
+        return (
+            self.diis_min if self.diis_min is not None else default_min,
+            self.diis_max if self.diis_max is not None else default_max,
+        )
