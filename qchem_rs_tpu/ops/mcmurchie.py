@@ -1,0 +1,194 @@
+"""McMurchie-Davidson Hermite-Gaussian machinery (batched, trace-time codegen).
+
+This replaces the unvendored ``molint`` integrals engine of the reference
+(SURVEY.md §2.1). All recursions run at *trace time* over static angular
+momentum bounds; at runtime everything is dense batched arrays, so each
+integral class compiles to one fused XLA kernel (elementwise VPU work for the
+recursions + batched MXU einsums for the Hermite->Cartesian contraction).
+
+Conventions (standard MD, e.g. Helgaker/Jorgensen/Olsen ch. 9):
+
+- E_t^{ij} Hermite expansion coefficients per dimension, recursion
+    E_0^{00} = exp(-mu X_AB^2),  mu = ab/p,  p = a + b
+    E_t^{i+1,j} = E_{t-1}^{ij}/(2p) + X_PA E_t^{ij} + (t+1) E_{t+1}^{ij}
+    E_t^{i,j+1} = E_{t-1}^{ij}/(2p) + X_PB E_t^{ij} + (t+1) E_{t+1}^{ij}
+- Hermite Coulomb integrals R_{tuv} via
+    R^{(n)}_{000} = (-2p)^n F_n(p |PC|^2)
+    R^{(n)}_{t+1,u,v} = t R^{(n+1)}_{t-1,u,v} + X_PC R^{(n+1)}_{t,u,v}   (etc.)
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from qchem_rs_tpu.ops.boys import boys
+
+
+@lru_cache(maxsize=None)
+def hermite_components(L: int) -> tuple[tuple[int, int, int], ...]:
+    """All (t, u, v) with t+u+v <= L, in a fixed deterministic order."""
+    return tuple(
+        (t, u, v)
+        for t in range(L + 1)
+        for u in range(L + 1 - t)
+        for v in range(L + 1 - t - u)
+    )
+
+
+@lru_cache(maxsize=None)
+def hermite_index(L: int) -> dict[tuple[int, int, int], int]:
+    return {tuv: s for s, tuv in enumerate(hermite_components(L))}
+
+
+def nhermite(L: int) -> int:
+    return (L + 1) * (L + 2) * (L + 3) // 6
+
+
+def e_cubes(imax: int, jmax: int, a, b, AB):
+    """Hermite expansion coefficient cubes for all three dimensions.
+
+    a, b: exponents, any (broadcast-compatible) batch shape ``B``.
+    AB:   A - B separation, shape ``B + (3,)``.
+
+    Returns a list of three arrays (x, y, z), each of shape
+    ``B + (imax+1, jmax+1, imax+jmax+1)`` where entry [..., i, j, t] is
+    E_t^{ij} for that dimension (zero for t > i + j).
+    """
+    p = a + b
+    inv2p = 0.5 / p
+    mu = a * b / p
+    cubes = []
+    for d in range(3):
+        ab_d = AB[..., d]
+        xpa = -(b / p) * ab_d  # P - A
+        xpb = (a / p) * ab_d  # P - B
+        E: dict[tuple[int, int, int], jnp.ndarray] = {}
+        E[(0, 0, 0)] = jnp.exp(-mu * ab_d * ab_d)
+        zero = jnp.zeros_like(E[(0, 0, 0)])
+
+        def get(i, j, t):
+            if t < 0 or t > i + j:
+                return zero
+            return E[(i, j, t)]
+
+        for i in range(1, imax + 1):
+            for t in range(i + 1):
+                E[(i, 0, t)] = (
+                    inv2p * get(i - 1, 0, t - 1)
+                    + xpa * get(i - 1, 0, t)
+                    + (t + 1) * get(i - 1, 0, t + 1)
+                )
+        for j in range(1, jmax + 1):
+            for i in range(imax + 1):
+                for t in range(i + j + 1):
+                    E[(i, j, t)] = (
+                        inv2p * get(i, j - 1, t - 1)
+                        + xpb * get(i, j - 1, t)
+                        + (t + 1) * get(i, j - 1, t + 1)
+                    )
+        rows = []
+        for i in range(imax + 1):
+            cols = []
+            for j in range(jmax + 1):
+                cols.append(
+                    jnp.stack(
+                        [get(i, j, t) for t in range(imax + jmax + 1)], axis=-1
+                    )
+                )
+            rows.append(jnp.stack(cols, axis=-2))
+        cubes.append(jnp.stack(rows, axis=-3))
+    return cubes
+
+
+def r_table(L: int, p, PC):
+    """Hermite Coulomb integrals R_{tuv} = R^{(0)}_{tuv}(p, PC) for all
+    t+u+v <= L, stacked along the last axis in ``hermite_components(L)``
+    order.
+
+    p: exponents, batch shape ``B``; PC: shape ``B + (3,)``.
+    Returns shape ``B + (nhermite(L),)``.
+    """
+    T = p * jnp.sum(PC * PC, axis=-1)
+    F = boys(L, T)  # (L+1,) + B
+    m2p = -2.0 * p
+    base = []
+    acc = jnp.ones_like(p)
+    for n in range(L + 1):
+        base.append(acc * F[n])
+        acc = acc * m2p
+
+    memo: dict[tuple[int, int, int, int], jnp.ndarray] = {}
+
+    def R(n, t, u, v):
+        if t == u == v == 0:
+            return base[n]
+        key = (n, t, u, v)
+        if key in memo:
+            return memo[key]
+        if t >= 1:
+            out = PC[..., 0] * R(n + 1, t - 1, u, v)
+            if t >= 2:
+                out = out + (t - 1) * R(n + 1, t - 2, u, v)
+        elif u >= 1:
+            out = PC[..., 1] * R(n + 1, t, u - 1, v)
+            if u >= 2:
+                out = out + (u - 1) * R(n + 1, t, u - 2, v)
+        else:
+            out = PC[..., 2] * R(n + 1, t, u, v - 1)
+            if v >= 2:
+                out = out + (v - 1) * R(n + 1, t, u, v - 2)
+        memo[key] = out
+        return out
+
+    return jnp.stack([R(0, t, u, v) for (t, u, v) in hermite_components(L)], axis=-1)
+
+
+@lru_cache(maxsize=None)
+def cart_hermite_gather(la: int, lb: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Static gather indices mapping E cubes -> dense (compAB, tuv) tensor.
+
+    Returns integer arrays (i1, i2, j1, j2, k1, k2 gather plan):
+    ``ix_a[A], ix_b[A]`` per-dimension powers for each component pair A and
+    ``t_idx[S], u_idx[S], v_idx[S]`` for each Hermite component S of
+    L = la + lb. Used as fancy indices into the e_cubes outputs so that
+
+      E_bra[..., A, S] = Ex[..., ia[A], ib[A], t[S]]
+                       * Ey[..., ja[A], jb[A], u[S]]
+                       * Ez[..., ka[A], kb[A], v[S]]
+    """
+    from qchem_rs_tpu.ops.angular import cart_components
+
+    comps_a = cart_components(la)
+    comps_b = cart_components(lb)
+    A_idx = [(ca, cb) for ca in comps_a for cb in comps_b]
+    ia = np.array([ca[0] for ca, cb in A_idx])
+    ja = np.array([ca[1] for ca, cb in A_idx])
+    ka = np.array([ca[2] for ca, cb in A_idx])
+    ib = np.array([cb[0] for ca, cb in A_idx])
+    jb = np.array([cb[1] for ca, cb in A_idx])
+    kb = np.array([cb[2] for ca, cb in A_idx])
+    tuv = hermite_components(la + lb)
+    t = np.array([s[0] for s in tuv])
+    u = np.array([s[1] for s in tuv])
+    v = np.array([s[2] for s in tuv])
+    return (np.stack([ia, ja, ka]), np.stack([ib, jb, kb]), t, u, v, np.array([len(A_idx), len(tuv)]))
+
+
+def hermite_expansion_dense(la: int, lb: int, a, b, AB):
+    """Dense Hermite expansion tensor E[..., A, S] for a shell-pair class.
+
+    A indexes Cartesian component pairs (ncart(la) * ncart(lb)), S indexes
+    Hermite components of order la+lb. Batch dims of a/b are preserved.
+    """
+    ex, ey, ez = e_cubes(la, lb, a, b, AB)
+    pa, pb, t, u, v, _ = cart_hermite_gather(la, lb)
+    ia, ja, ka = pa
+    ib, jb, kb = pb
+    # gathers: (..., A, S)
+    Ex = ex[..., ia[:, None], ib[:, None], t[None, :]]
+    Ey = ey[..., ja[:, None], jb[:, None], u[None, :]]
+    Ez = ez[..., ka[:, None], kb[:, None], v[None, :]]
+    return Ex * Ey * Ez

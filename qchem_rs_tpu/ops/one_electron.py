@@ -1,0 +1,142 @@
+"""One-electron integrals: overlap S, kinetic T, nuclear attraction V.
+
+Replaces ``molint::{overlap, kinetic, nuclear}`` (consumed at
+/root/reference/core/src/hf/rhf.rs:41-43). TPU-first layout: shell pairs are
+batched per (la, lb) class with padded primitive axes; the MD recursions
+unroll at trace time, so each class is one fused XLA kernel over the whole
+pair batch. Padded primitives carry coefficient 0 and so contribute nothing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qchem_rs_tpu.ops.angular import cart_components, ncart
+from qchem_rs_tpu.ops.mcmurchie import e_cubes, hermite_expansion_dense, r_table
+from qchem_rs_tpu.utils.system import MolecularSystem, ShellClass
+
+
+def _pair_batch(ca: ShellClass, cb: ShellClass):
+    """Full cross product of shells from two classes as flat batched arrays."""
+    nA, nB = ca.nshells, cb.nshells
+    ia, ib = np.meshgrid(np.arange(nA), np.arange(nB), indexing="ij")
+    ia, ib = ia.ravel(), ib.ravel()
+    a = jnp.asarray(ca.alphas[ia])[:, :, None]  # (n, Ka, 1)
+    b = jnp.asarray(cb.alphas[ib])[:, None, :]  # (n, 1, Kb)
+    cc = jnp.asarray(ca.coefs[ia])[:, :, None] * jnp.asarray(cb.coefs[ib])[:, None, :]
+    A = ca.centers[ia]  # (n, 3) numpy
+    B = cb.centers[ib]
+    AB = jnp.asarray(A - B)[:, None, None, :]  # (n, 1, 1, 3)
+    return ia, ib, a, b, cc, jnp.asarray(A), jnp.asarray(B), AB
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _overlap_class(la: int, lb: int, a, b, cc, AB):
+    p = a + b
+    ex, ey, ez = e_cubes(la, lb, a, b, AB)
+    comps_a, comps_b = cart_components(la), cart_components(lb)
+    pref = (jnp.pi / p) ** 1.5 * cc  # (n, Ka, Kb)
+    blocks = []
+    for (i1, j1, k1) in comps_a:
+        row = []
+        for (i2, j2, k2) in comps_b:
+            s = ex[..., i1, i2, 0] * ey[..., j1, j2, 0] * ez[..., k1, k2, 0]
+            row.append(jnp.sum(pref * s, axis=(-1, -2)))
+        blocks.append(jnp.stack(row, axis=-1))
+    return jnp.stack(blocks, axis=-2)  # (n, ncA, ncB)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _kinetic_class(la: int, lb: int, a, b, cc, AB):
+    p = a + b
+    # per-dimension overlaps up to j+2 on the ket side
+    ex, ey, ez = e_cubes(la, lb + 2, a, b, AB)
+    comps_a, comps_b = cart_components(la), cart_components(lb)
+    pref = (jnp.pi / p) ** 1.5 * cc
+
+    def tdim(e, i, j):
+        # <i| -1/2 d^2/dx^2 |j> / sqrt-factor, from
+        # d^2/dx^2 x^j e^{-b x^2} = j(j-1) x^{j-2} - 2b(2j+1) x^j + 4b^2 x^{j+2}
+        term = -2.0 * b * b * e[..., i, j + 2, 0] + b * (2 * j + 1) * e[..., i, j, 0]
+        if j >= 2:
+            term = term - 0.5 * j * (j - 1) * e[..., i, j - 2, 0]
+        return term
+
+    blocks = []
+    for (i1, j1, k1) in comps_a:
+        row = []
+        for (i2, j2, k2) in comps_b:
+            sx = ex[..., i1, i2, 0]
+            sy = ey[..., j1, j2, 0]
+            sz = ez[..., k1, k2, 0]
+            t = (
+                tdim(ex, i1, i2) * sy * sz
+                + sx * tdim(ey, j1, j2) * sz
+                + sx * sy * tdim(ez, k1, k2)
+            )
+            row.append(jnp.sum(pref * t, axis=(-1, -2)))
+        blocks.append(jnp.stack(row, axis=-1))
+    return jnp.stack(blocks, axis=-2)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _nuclear_class(la: int, lb: int, a, b, cc, A, B, AB, charges, positions):
+    p = a + b  # (n, Ka, Kb)
+    P = (a[..., None] * A[:, None, None, :] + b[..., None] * B[:, None, None, :]) / p[..., None]
+    L = la + lb
+    E = hermite_expansion_dense(la, lb, a, b, AB)  # (n, Ka, Kb, A, S)
+    # batch atoms as a leading axis
+    PC = P[None, ...] - positions[:, None, None, None, :]  # (nat, n, Ka, Kb, 3)
+    R = r_table(L, p[None, ...], PC)  # (nat, n, Ka, Kb, S)
+    RZ = jnp.einsum("c,cnabs->nabs", charges, R)
+    pref = (2.0 * jnp.pi / p) * cc
+    V = -jnp.einsum("nab,nabAs,nabs->nA", pref, E, RZ)
+    n = V.shape[0]
+    return V.reshape(n, ncart(la), ncart(lb))
+
+
+def _assemble(system: MolecularSystem, class_fn) -> jnp.ndarray:
+    nao = system.n_basis()
+    out = jnp.zeros((nao, nao), dtype=jnp.float64)
+    classes = system.shell_classes
+    for la, ca in classes.items():
+        for lb, cb in classes.items():
+            ia, ib, a, b, cc, A, B, AB = _pair_batch(ca, cb)
+            block = class_fn(la, lb, ca, cb, a, b, cc, A, B, AB)
+            rows = (ca.ao_offsets[ia][:, None, None] + np.arange(ncart(la))[None, :, None])
+            cols = (cb.ao_offsets[ib][:, None, None] + np.arange(ncart(lb))[None, None, :])
+            out = out.at[rows, cols].set(block)
+    norms = jnp.asarray(system.ao_norms)
+    return out * norms[:, None] * norms[None, :]
+
+
+def overlap(system: MolecularSystem) -> jnp.ndarray:
+    """Full AO overlap matrix S (nao, nao)."""
+    return _assemble(
+        system,
+        lambda la, lb, ca, cb, a, b, cc, A, B, AB: _overlap_class(la, lb, a, b, cc, AB),
+    )
+
+
+def kinetic(system: MolecularSystem) -> jnp.ndarray:
+    """Full AO kinetic-energy matrix T (nao, nao)."""
+    return _assemble(
+        system,
+        lambda la, lb, ca, cb, a, b, cc, A, B, AB: _kinetic_class(la, lb, a, b, cc, AB),
+    )
+
+
+def nuclear(system: MolecularSystem) -> jnp.ndarray:
+    """Full AO nuclear-attraction matrix V (nao, nao)."""
+    charges = jnp.asarray(system.charges)
+    positions = jnp.asarray(system.positions)
+    return _assemble(
+        system,
+        lambda la, lb, ca, cb, a, b, cc, A, B, AB: _nuclear_class(
+            la, lb, a, b, cc, A, B, AB, charges, positions
+        ),
+    )
