@@ -1,0 +1,188 @@
+"""Command-line interface.
+
+Parity with the reference CLI (/root/reference/qchem-cli/src/main.rs:10-62):
+subcommands ``rhf`` and ``uhf`` with ``--basis-set/-b``, ``--molecule/-m``,
+``--max-iterations`` (default 100), ``--epsilon`` (default 1e-6); ``uhf``
+additionally ``--charge/-c`` and ``--spin-multiplicity/-s`` — which here
+actually *work* (the reference accepts and drops them, main.rs:111-117).
+Printed fields mirror main.rs:98-106/143-152 (energies at 3 decimals, timing,
+orbital energy lists). Non-convergence exits with an error instead of a Rust
+panic.
+
+Extensions beyond the reference: ``--charge`` on rhf, ``--convergence`` metric
+selection, ``--verbose`` that works, a ``sweep`` subcommand for batched
+conformer scans, and ``info`` for system inspection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+log = logging.getLogger("qchem")
+
+
+def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
+    p.add_argument("--basis-set", "-b", required=True, help="basis set JSON (MolSSI BSE schema)")
+    p.add_argument("--molecule", "-m", required=True, help="molecule JSON (positions in Bohr)")
+    p.add_argument("--max-iterations", type=int, default=100, help="SCF iteration cap (default 100)")
+    p.add_argument("--epsilon", type=float, default=1e-6, help="density-RMS convergence threshold (default 1e-6)")
+    p.add_argument("--charge", "-c", type=int, default=0, help="total molecular charge")
+    if uhf:
+        p.add_argument(
+            "--spin-multiplicity",
+            "-s",
+            type=int,
+            default=0,
+            help="2S+1; 0 = reference-compatible n/2-n/2 split",
+        )
+    p.add_argument(
+        "--convergence",
+        choices=["diag_rms", "full_rms"],
+        default="diag_rms",
+        help="convergence metric (diag_rms matches the reference quirk)",
+    )
+    p.add_argument("--mixing", type=float, default=1.0, help="density mixing factor (1.0 = no damping)")
+
+
+def _build(args):
+    from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
+
+    basis = BasisSet.load(args.basis_set)
+    system = MolecularSystem.load(args.molecule, basis)
+    cfg = HartreeFockConfig(
+        max_iterations=args.max_iterations,
+        epsilon=args.epsilon,
+        charge=args.charge,
+        spin_multiplicity=getattr(args, "spin_multiplicity", 0) or 0,
+        convergence_metric=args.convergence,
+        mixing_factor=args.mixing,
+    )
+    return system, cfg
+
+
+def _fmt_orbitals(w) -> str:
+    return "[" + ", ".join(f"{x:.3f}" for x in w) + "]"
+
+
+def cmd_rhf(args) -> int:
+    from qchem_rs_tpu import restricted_hartree_fock
+
+    system, cfg = _build(args)
+    if cfg.spin_multiplicity == 0:
+        cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
+    start = time.perf_counter()
+    out = restricted_hartree_fock(system, cfg)
+    elapsed = time.perf_counter() - start
+    print(f"ERI computation took {out.timings['eri_s']:.3f}s")
+    if not out.converged:
+        print("hartree fock did not converge", file=sys.stderr)
+        return 1
+    print(f"hartree fock converged after {out.iterations} iterations and {elapsed:0.2f}s")
+    print(f"electronic energy: {out.electronic_energy:3.3f}")
+    print(f"nuclear repulsion energy: {out.nuclear_repulsion:3.3f}")
+    print(f"hartree fock energy: {out.total_energy():3.3f}")
+    print(f"orbital energies: {_fmt_orbitals(out.orbital_energies)}")
+    return 0
+
+
+def cmd_uhf(args) -> int:
+    from qchem_rs_tpu import unrestricted_hartree_fock
+
+    system, cfg = _build(args)
+    start = time.perf_counter()
+    out = unrestricted_hartree_fock(system, cfg)
+    elapsed = time.perf_counter() - start
+    if not out.converged:
+        print("hartree fock did not converge", file=sys.stderr)
+        return 1
+    print(f"hartree fock converged after {out.iterations} iterations and {elapsed:0.2f}s")
+    print(f"electronic energy: {out.electronic_energy:3.3f}")
+    print(f"nuclear repulsion energy: {out.nuclear_repulsion:3.3f}")
+    print(f"hartree fock energy: {out.total_energy():3.3f}")
+    print(f"orbital energies alpha spin:   {_fmt_orbitals(out.orbital_energies_alpha)}")
+    print(f"orbital energies beta spin: {_fmt_orbitals(out.orbital_energies_beta)}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from qchem_rs_tpu import BasisSet, MolecularSystem
+
+    basis = BasisSet.load(args.basis_set)
+    system = MolecularSystem.load(args.molecule, basis)
+    print(system)
+    print(f"electrons: {system.n_electrons()}")
+    print(f"nuclear repulsion: {system.nuclear_repulsion():.10f}")
+    for l, cls in system.shell_classes.items():
+        print(f"  l={l}: {cls.nshells} shells, contraction padded to K={cls.K}")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    """Batched conformer sweep: RHF over a batch of geometries (an axis the
+    reference cannot do at all — SURVEY.md §2.2)."""
+    import json
+
+    import numpy as np
+
+    from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
+    from qchem_rs_tpu.parallel.sweep import conformer_sweep
+
+    basis = BasisSet.load(args.basis_set)
+    system = MolecularSystem.load(args.molecule, basis)
+    with open(args.geometries) as f:
+        geoms = np.asarray(json.load(f), dtype=np.float64)  # (nconf, natom, 3)
+    cfg = HartreeFockConfig(
+        max_iterations=args.max_iterations,
+        epsilon=args.epsilon,
+        charge=args.charge,
+        convergence_metric=args.convergence,
+    )
+    start = time.perf_counter()
+    energies, converged = conformer_sweep(system, geoms, cfg)
+    elapsed = time.perf_counter() - start
+    print(f"swept {len(geoms)} conformers in {elapsed:0.2f}s")
+    for i, (e, c) in enumerate(zip(energies, converged)):
+        flag = "" if c else "  (NOT CONVERGED)"
+        print(f"conformer {i}: {e:.8f}{flag}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="qchem",
+        description="TPU-native Hartree-Fock (JAX/XLA/Pallas) with qchem-rs CLI parity",
+    )
+    parser.add_argument("--verbose", "-v", action="store_true", help="per-iteration SCF logging")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_rhf = sub.add_parser("rhf", help="restricted Hartree-Fock single point")
+    _common_flags(p_rhf, uhf=False)
+    p_rhf.set_defaults(fn=cmd_rhf)
+
+    p_uhf = sub.add_parser("uhf", help="unrestricted Hartree-Fock single point")
+    _common_flags(p_uhf, uhf=True)
+    p_uhf.set_defaults(fn=cmd_uhf)
+
+    p_info = sub.add_parser("info", help="inspect a molecule/basis combination")
+    p_info.add_argument("--basis-set", "-b", required=True)
+    p_info.add_argument("--molecule", "-m", required=True)
+    p_info.set_defaults(fn=cmd_info)
+
+    p_sweep = sub.add_parser("sweep", help="batched conformer sweep (RHF)")
+    _common_flags(p_sweep, uhf=False)
+    p_sweep.add_argument("--geometries", "-g", required=True, help="JSON (nconf, natom, 3) positions in Bohr")
+    p_sweep.set_defaults(fn=cmd_sweep)
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

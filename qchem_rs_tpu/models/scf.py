@@ -1,0 +1,83 @@
+"""Shared SCF machinery: Löwdin orthogonalization, extended-Hückel guess,
+density builds, and the jitted fixed-point iteration infrastructure.
+
+Reference algorithms being mirrored (with citations into /root/reference):
+- symmetric (Löwdin S^-1/2) transform: core/src/hf/rhf.rs:124-131
+- extended-Hückel guess (Wolfsberg-Helmholtz k = 1.75): rhf.rs:133-150
+- density update D_ij = occ_scale * sum_k^occ C_ik C_jk: rhf.rs:169-181
+- FDS - SDF DIIS error: rhf.rs:71
+- diagonal-only density RMS convergence metric: rhf.rs:87-88 (quirk kept as
+  the default; full-matrix RMS available via config)
+
+TPU-first: the SCF loop is a single ``lax.while_loop`` inside jit; all state
+(density, DIIS ring buffers, energies) is a pytree of fixed-shape arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+WOLFSBERG_HELMHOLTZ = 1.75
+
+
+def lowdin_x(S: jax.Array) -> jax.Array:
+    """Symmetric orthogonalization X = U s^-1/2 U^T."""
+    w, U = jnp.linalg.eigh(S)
+    return (U / jnp.sqrt(w)[None, :]) @ U.T
+
+
+def density_from_coeffs(C: jax.Array, nocc: int, scale: float) -> jax.Array:
+    """D = scale * C_occ C_occ^T (scale 2 for RHF, 1 per spin for UHF)."""
+    Cocc = C[:, :nocc]
+    return scale * (Cocc @ Cocc.T)
+
+
+def solve_fock(F: jax.Array, X: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Eigensolve in the orthogonal basis: returns (C, orbital_energies),
+    eigenvalues ascending (matches utils.rs:20-36 sorted_eigs)."""
+    Fp = X.T @ F @ X
+    w, Cp = jnp.linalg.eigh(Fp)
+    return X @ Cp, w
+
+
+def huckel_guess(H: jax.Array, S: jax.Array, X: jax.Array, nocc: int, scale: float) -> jax.Array:
+    """Extended-Hückel initial density (rhf.rs:133-150)."""
+    h = jnp.diagonal(H)
+    H_eht = WOLFSBERG_HELMHOLTZ * S * 0.5 * (h[:, None] + h[None, :])
+    C, _ = solve_fock(H_eht, X)
+    return density_from_coeffs(C, nocc, scale)
+
+
+def density_rms(d_change: jax.Array, metric: str) -> jax.Array:
+    """Convergence metric on the density change.
+
+    "diag_rms" reproduces the reference exactly (rhf.rs:87-88): RMS over the
+    *diagonal* of the change only, normalized by n_basis. "full_rms" is the
+    defect-fixed version (SURVEY.md §7.0 item 2).
+    """
+    n = d_change.shape[-1]
+    if metric == "diag_rms":
+        return jnp.sqrt(jnp.sum(jnp.diagonal(d_change, axis1=-2, axis2=-1) ** 2, axis=-1) / n)
+    if metric == "full_rms":
+        return jnp.sqrt(jnp.sum(d_change**2, axis=(-2, -1)) / (n * n))
+    raise ValueError(f"unknown convergence metric {metric!r}")
+
+
+def electron_counts(n_electrons: int, spin_multiplicity: int) -> tuple[int, int]:
+    """(n_alpha, n_beta) for a spin multiplicity 2S+1.
+
+    spin_multiplicity == 0 is 'reference-compatible' mode: n_alpha = n_beta =
+    n_electrons // 2 exactly like uhf.rs:43-45 (which silently drops an
+    electron for odd counts — documented quirk SURVEY.md §7.0 item 1).
+    """
+    if spin_multiplicity == 0:
+        return n_electrons // 2, n_electrons // 2
+    n_unpaired = spin_multiplicity - 1
+    if (n_electrons - n_unpaired) % 2 != 0 or n_unpaired > n_electrons:
+        raise ValueError(
+            f"spin multiplicity {spin_multiplicity} inconsistent with "
+            f"{n_electrons} electrons"
+        )
+    n_beta = (n_electrons - n_unpaired) // 2
+    return n_beta + n_unpaired, n_beta

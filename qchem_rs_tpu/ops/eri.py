@@ -1,0 +1,282 @@
+"""Two-electron repulsion integrals (ERI) and shell-pair machinery.
+
+Replaces ``molint::eri`` / ``molint::storage::EriTensor`` (consumed at
+/root/reference/core/src/hf/rhf.rs:45 and uhf.rs:55). Chemists' notation
+(ij|kl) throughout, 8-fold permutational symmetry exploited at the
+shell-quartet level.
+
+TPU-first structure (see SURVEY.md §7): shell pairs are precomputed per
+(la, lb) class into dense **Hermite charge distributions**
+``E[pair, prim, compAB, tuv]`` (contraction coefficients and Cartesian
+normalization folded in). A quartet batch then only needs
+
+    R2[n, a, c, s1, s2] = pref * (-1)^{|s2|} * R_{s1+s2}(alpha, P - Q)
+    (ij|kl)[n, A, C]    = E_bra[n,a,A,s1] . R2[n,a,c,s1,s2] . E_ket[n,c,C,s2]
+
+i.e. a Boys/Hermite elementwise stage (VPU) followed by two batched
+contractions (MXU). Everything is chunked with static shapes; padded quartets
+scatter into a dump slot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qchem_rs_tpu.ops.angular import cart_components, component_norms, ncart
+from qchem_rs_tpu.ops.mcmurchie import (
+    hermite_components,
+    hermite_expansion_dense,
+    hermite_index,
+    nhermite,
+    r_table,
+)
+from qchem_rs_tpu.utils.system import MolecularSystem
+
+#: max elements for the (n, a, c, S1, S2) intermediate per chunk
+DEFAULT_CHUNK_BUDGET = 1 << 26
+
+
+@dataclasses.dataclass
+class PairGroup:
+    """All unique shell pairs of one (la, lb) class, la >= lb, as batched
+    device arrays. Hermite charge distributions have contraction coefficients
+    and per-component norms folded in."""
+
+    la: int
+    lb: int
+    i_shell: np.ndarray  # (n,) global shell index (class la member)
+    j_shell: np.ndarray  # (n,)
+    ao_i: np.ndarray  # (n,) AO offset of shell i
+    ao_j: np.ndarray  # (n,)
+    p: jax.Array  # (n, Kab) combined exponents, prim axes merged
+    P: jax.Array  # (n, Kab, 3) gaussian product centers
+    E: jax.Array  # (n, Kab, ncompAB, nhermite(la+lb))
+
+    @property
+    def npairs(self) -> int:
+        return len(self.ao_i)
+
+    @property
+    def L(self) -> int:
+        return self.la + self.lb
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _pair_hermite(la, lb, a, b, cc, A, B, AB):
+    """E (n, Ka*Kb, ncompAB, S), p (n, Ka*Kb), P (n, Ka*Kb, 3)."""
+    p = a + b  # (n, Ka, Kb)
+    P = (a[..., None] * A[:, None, None, :] + b[..., None] * B[:, None, None, :]) / p[..., None]
+    E = hermite_expansion_dense(la, lb, a, b, AB)  # (n, Ka, Kb, Acomp, S)
+    E = E * cc[..., None, None]
+    norms = np.kron(component_norms(la), component_norms(lb))
+    E = E * jnp.asarray(norms)[None, None, None, :, None]
+    n, Ka, Kb = p.shape
+    return (
+        E.reshape(n, Ka * Kb, E.shape[3], E.shape[4]),
+        p.reshape(n, Ka * Kb),
+        P.reshape(n, Ka * Kb, 3),
+    )
+
+
+def build_pair_groups(system: MolecularSystem, positions=None) -> list[PairGroup]:
+    """Unique shell pairs {i, j} grouped by unordered class pair (la >= lb).
+
+    ``positions`` may be a traced (natom, 3) array for conformer sweeps.
+    """
+    if positions is None:
+        positions = jnp.asarray(system.positions)
+    groups: list[PairGroup] = []
+    classes = system.shell_classes
+    ls = sorted(classes)
+    for la in ls:
+        for lb in [l for l in ls if l <= la]:
+            ca, cb = classes[la], classes[lb]
+            if la == lb:
+                ii, jj = np.triu_indices(ca.nshells)
+            else:
+                ii, jj = np.meshgrid(np.arange(ca.nshells), np.arange(cb.nshells), indexing="ij")
+                ii, jj = ii.ravel(), jj.ravel()
+            if len(ii) == 0:
+                continue
+            a = jnp.asarray(ca.alphas[ii])[:, :, None]
+            b = jnp.asarray(cb.alphas[jj])[:, None, :]
+            cc = jnp.asarray(ca.coefs[ii])[:, :, None] * jnp.asarray(cb.coefs[jj])[:, None, :]
+            A = positions[ca.atom_indices[ii]]
+            B = positions[cb.atom_indices[jj]]
+            AB = (A - B)[:, None, None, :]
+            E, p, P = _pair_hermite(la, lb, a, b, cc, A, B, AB)
+            groups.append(
+                PairGroup(
+                    la=la,
+                    lb=lb,
+                    i_shell=ca.shell_indices[ii],
+                    j_shell=cb.shell_indices[jj],
+                    ao_i=ca.ao_offsets[ii],
+                    ao_j=cb.ao_offsets[jj],
+                    p=p,
+                    P=P,
+                    E=E,
+                )
+            )
+    return groups
+
+
+@lru_cache(maxsize=None)
+def _r2_gather(Lbra: int, Lket: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static gather plan: R2[s1, s2] = sign[s2] * Rfull[idx[s1, s2]]."""
+    hb = hermite_components(Lbra)
+    hk = hermite_components(Lket)
+    index = hermite_index(Lbra + Lket)
+    idx = np.empty((len(hb), len(hk)), dtype=np.int32)
+    sign = np.empty(len(hk))
+    for s2, (t2, u2, v2) in enumerate(hk):
+        sign[s2] = (-1.0) ** (t2 + u2 + v2)
+        for s1, (t1, u1, v1) in enumerate(hb):
+            idx[s1, s2] = index[(t1 + t2, u1 + u2, v1 + v2)]
+    return idx, sign
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _eri_chunk(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
+    """Contracted ERI block for one chunk of shell quartets.
+
+    E1 (n,a,A,s1), p1 (n,a), P1 (n,a,3); E2 (n,c,C,s2), p2 (n,c), P2 (n,c,3).
+    Returns (n, A, C).
+    """
+    ps = p1[:, :, None] + p2[:, None, :]  # (n,a,c)
+    alpha = p1[:, :, None] * p2[:, None, :] / ps
+    PQ = P1[:, :, None, :] - P2[:, None, :, :]  # (n,a,c,3)
+    R = r_table(Lbra + Lket, alpha, PQ)  # (n,a,c,H)
+    pref = 2.0 * jnp.pi**2.5 / (p1[:, :, None] * p2[:, None, :] * jnp.sqrt(ps))
+    R = R * pref[..., None]
+    idx, sign = _r2_gather(Lbra, Lket)
+    R2 = R[..., jnp.asarray(idx)] * jnp.asarray(sign)[None, None, None, None, :]
+    # (n,a,c,S1,S2) . (n,a,A,S1) -> (n,c,S2,A) -> with E2 (n,c,C,S2) -> (n,A,C)
+    T1 = jnp.einsum("naAs,nacst->nctA", E1, R2)
+    return jnp.einsum("nctA,ncCt->nAC", T1, E2)
+
+
+def _quartet_indices(g1: PairGroup, g2: PairGroup, same: bool):
+    if same:
+        br, kt = np.triu_indices(g1.npairs)
+    else:
+        br, kt = np.meshgrid(np.arange(g1.npairs), np.arange(g2.npairs), indexing="ij")
+        br, kt = br.ravel(), kt.ravel()
+    return br, kt
+
+
+def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int) -> int:
+    a = g1.p.shape[1]
+    c = g2.p.shape[1]
+    S1 = nhermite(g1.L)
+    S2 = nhermite(g2.L)
+    H = nhermite(g1.L + g2.L)
+    per_quartet = a * c * max(S1 * S2, H)
+    return int(np.clip(budget // per_quartet, 1, 1 << 14))
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _scatter_quartets(nao: int, flat, vals, ii, jj, kk, ll, valid):
+    """Scatter a quartet block into the dense (nao^4 + 1,) buffer under
+    8-fold permutational symmetry.
+
+    vals: (n, nA, nB, nC, nD) block values (i_A j_B | k_C l_D).
+    ii/jj/kk/ll: AO index arrays broadcastable to vals' shape, one per slot.
+    valid: (n, 1, 1, 1, 1) bool; padded quartets land in the dump slot.
+
+    Each element of ``vals`` carries its own four AO indices, so every
+    symmetry image is just a permutation of which index array fills which
+    slot — vals itself never needs transposing. Duplicate writes (coincident
+    shells) write identical values, so ``set`` semantics are safe.
+    """
+    shape = vals.shape
+    b = lambda x: jnp.broadcast_to(x, shape)
+    ii, jj, kk, ll = b(ii), b(jj), b(kk), b(ll)
+    dump = nao**4
+    valid = b(valid)
+
+    def flat_idx(w, x, y, z):
+        idx = ((w * nao + x) * nao + y) * nao + z
+        return jnp.where(valid, idx, dump).ravel()
+
+    v = vals.ravel()
+    for (w, x, y, z) in (
+        (ii, jj, kk, ll),
+        (jj, ii, kk, ll),
+        (ii, jj, ll, kk),
+        (jj, ii, ll, kk),
+        (kk, ll, ii, jj),
+        (ll, kk, ii, jj),
+        (kk, ll, jj, ii),
+        (ll, kk, jj, ii),
+    ):
+        flat = flat.at[flat_idx(w, x, y, z)].set(v)
+    return flat
+
+
+def eri(system: MolecularSystem, positions=None, chunk_budget: int = DEFAULT_CHUNK_BUDGET) -> jnp.ndarray:
+    """Full dense ERI tensor (nao, nao, nao, nao), chemists' (ij|kl).
+
+    In-core path (reference parity: rhf.rs:45 materializes the full tensor
+    too). Unique shell quartets only; 8-fold scatter. For systems too large
+    to hold nao^4 in HBM use the integral-direct Fock build instead
+    (qchem_rs_tpu.ops.fock / parallel.fock_sharded).
+    """
+    nao = system.n_basis()
+    groups = build_pair_groups(system, positions)
+    flat = jnp.zeros(nao**4 + 1, dtype=jnp.float64)
+    for gi, g1 in enumerate(groups):
+        for g2 in groups[gi:]:
+            same = g2 is g1
+            br, kt = _quartet_indices(g1, g2, same)
+            nq = len(br)
+            if nq == 0:
+                continue
+            chunk = _chunk_size(g1, g2, chunk_budget)
+            ncA, ncB = ncart(g1.la), ncart(g1.lb)
+            ncC, ncD = ncart(g2.la), ncart(g2.lb)
+            for start in range(0, nq, chunk):
+                sl = slice(start, min(start + chunk, nq))
+                brc, ktc = br[sl], kt[sl]
+                npad = chunk - len(brc)
+                if npad:
+                    brc = np.concatenate([brc, np.zeros(npad, dtype=brc.dtype)])
+                    ktc = np.concatenate([ktc, np.zeros(npad, dtype=ktc.dtype)])
+                vals = _eri_chunk(
+                    g1.L,
+                    g2.L,
+                    g1.E[brc],
+                    g1.p[brc],
+                    g1.P[brc],
+                    g2.E[ktc],
+                    g2.p[ktc],
+                    g2.P[ktc],
+                )  # (chunk, A, C)
+                vals = vals.reshape(chunk, ncA, ncB, ncC, ncD)
+                ii = jnp.asarray(g1.ao_i[brc])[:, None, None, None, None] + jnp.arange(ncA)[None, :, None, None, None]
+                jj = jnp.asarray(g1.ao_j[brc])[:, None, None, None, None] + jnp.arange(ncB)[None, None, :, None, None]
+                kk = jnp.asarray(g2.ao_i[ktc])[:, None, None, None, None] + jnp.arange(ncC)[None, None, None, :, None]
+                ll = jnp.asarray(g2.ao_j[ktc])[:, None, None, None, None] + jnp.arange(ncD)[None, None, None, None, :]
+                valid = jnp.asarray(
+                    (np.arange(chunk) < (sl.stop - sl.start))
+                ).reshape(chunk, 1, 1, 1, 1)
+                flat = _scatter_quartets(nao, flat, vals, ii, jj, kk, ll, valid)
+    return flat[:-1].reshape(nao, nao, nao, nao)
+
+
+class EriTensor:
+    """Thin indexable wrapper for reference-API parity with
+    molint::storage::EriTensor ((i,j,k,l) chemists'-notation access,
+    rhf.rs:61 / uhf.rs:220-222)."""
+
+    def __init__(self, dense: jnp.ndarray):
+        self.dense = dense
+
+    def __getitem__(self, idx):
+        i, j, k, l = idx
+        return self.dense[i, j, k, l]

@@ -20,18 +20,22 @@ from qchem_rs_tpu.ops.mcmurchie import e_cubes, hermite_expansion_dense, r_table
 from qchem_rs_tpu.utils.system import MolecularSystem, ShellClass
 
 
-def _pair_batch(ca: ShellClass, cb: ShellClass):
-    """Full cross product of shells from two classes as flat batched arrays."""
+def _pair_batch(ca: ShellClass, cb: ShellClass, positions):
+    """Full cross product of shells from two classes as flat batched arrays.
+
+    ``positions`` may be a traced (natom, 3) array — shell centers are
+    gathered from it, which is what makes jit/vmap conformer sweeps work.
+    """
     nA, nB = ca.nshells, cb.nshells
     ia, ib = np.meshgrid(np.arange(nA), np.arange(nB), indexing="ij")
     ia, ib = ia.ravel(), ib.ravel()
     a = jnp.asarray(ca.alphas[ia])[:, :, None]  # (n, Ka, 1)
     b = jnp.asarray(cb.alphas[ib])[:, None, :]  # (n, 1, Kb)
     cc = jnp.asarray(ca.coefs[ia])[:, :, None] * jnp.asarray(cb.coefs[ib])[:, None, :]
-    A = ca.centers[ia]  # (n, 3) numpy
-    B = cb.centers[ib]
-    AB = jnp.asarray(A - B)[:, None, None, :]  # (n, 1, 1, 3)
-    return ia, ib, a, b, cc, jnp.asarray(A), jnp.asarray(B), AB
+    A = positions[ca.atom_indices[ia]]  # (n, 3)
+    B = positions[cb.atom_indices[ib]]
+    AB = (A - B)[:, None, None, :]  # (n, 1, 1, 3)
+    return ia, ib, a, b, cc, A, B, AB
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -99,13 +103,13 @@ def _nuclear_class(la: int, lb: int, a, b, cc, A, B, AB, charges, positions):
     return V.reshape(n, ncart(la), ncart(lb))
 
 
-def _assemble(system: MolecularSystem, class_fn) -> jnp.ndarray:
+def _assemble(system: MolecularSystem, class_fn, positions) -> jnp.ndarray:
     nao = system.n_basis()
     out = jnp.zeros((nao, nao), dtype=jnp.float64)
     classes = system.shell_classes
     for la, ca in classes.items():
         for lb, cb in classes.items():
-            ia, ib, a, b, cc, A, B, AB = _pair_batch(ca, cb)
+            ia, ib, a, b, cc, A, B, AB = _pair_batch(ca, cb, positions)
             block = class_fn(la, lb, ca, cb, a, b, cc, A, B, AB)
             rows = (ca.ao_offsets[ia][:, None, None] + np.arange(ncart(la))[None, :, None])
             cols = (cb.ao_offsets[ib][:, None, None] + np.arange(ncart(lb))[None, None, :])
@@ -114,29 +118,38 @@ def _assemble(system: MolecularSystem, class_fn) -> jnp.ndarray:
     return out * norms[:, None] * norms[None, :]
 
 
-def overlap(system: MolecularSystem) -> jnp.ndarray:
+def _positions(system, positions):
+    return jnp.asarray(system.positions) if positions is None else positions
+
+
+def overlap(system: MolecularSystem, positions=None) -> jnp.ndarray:
     """Full AO overlap matrix S (nao, nao)."""
+    positions = _positions(system, positions)
     return _assemble(
         system,
         lambda la, lb, ca, cb, a, b, cc, A, B, AB: _overlap_class(la, lb, a, b, cc, AB),
+        positions,
     )
 
 
-def kinetic(system: MolecularSystem) -> jnp.ndarray:
+def kinetic(system: MolecularSystem, positions=None) -> jnp.ndarray:
     """Full AO kinetic-energy matrix T (nao, nao)."""
+    positions = _positions(system, positions)
     return _assemble(
         system,
         lambda la, lb, ca, cb, a, b, cc, A, B, AB: _kinetic_class(la, lb, a, b, cc, AB),
+        positions,
     )
 
 
-def nuclear(system: MolecularSystem) -> jnp.ndarray:
+def nuclear(system: MolecularSystem, positions=None) -> jnp.ndarray:
     """Full AO nuclear-attraction matrix V (nao, nao)."""
+    positions = _positions(system, positions)
     charges = jnp.asarray(system.charges)
-    positions = jnp.asarray(system.positions)
     return _assemble(
         system,
         lambda la, lb, ca, cb, a, b, cc, A, B, AB: _nuclear_class(
             la, lb, a, b, cc, A, B, AB, charges, positions
         ),
+        positions,
     )

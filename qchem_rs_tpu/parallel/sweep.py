@@ -1,0 +1,96 @@
+"""Batched conformer sweeps: one compiled RHF, vmapped over geometries and
+sharded over the device mesh.
+
+This is the "batch parallelism" axis of the workload (SURVEY.md §2.2): same
+atoms + basis, a batch of geometries, one XLA program. The reference CLI can
+only run one geometry per process.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qchem_rs_tpu.config import HartreeFockConfig
+from qchem_rs_tpu.models import scf
+from qchem_rs_tpu.models.rhf import _rhf_scf
+from qchem_rs_tpu.ops import eri as eri_ops
+from qchem_rs_tpu.ops import one_electron
+from qchem_rs_tpu.parallel.mesh import batch_sharding, data_mesh
+from qchem_rs_tpu.utils.system import MolecularSystem
+
+
+def nuclear_repulsion_jnp(charges: jax.Array, positions: jax.Array) -> jax.Array:
+    diff = positions[:, None, :] - positions[None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + jnp.eye(len(charges)))
+    zz = charges[:, None] * charges[None, :]
+    off = 1.0 - jnp.eye(len(charges))
+    return 0.5 * jnp.sum(off * zz / dist)
+
+
+def rhf_energy_fn(system: MolecularSystem, config: HartreeFockConfig):
+    """A traceable positions -> (total_energy, converged, iterations) RHF."""
+    n = system.n_basis()
+    nocc = system.n_electrons(config.charge) // 2
+    charges = jnp.asarray(system.charges)
+
+    def fn(positions: jax.Array):
+        S = one_electron.overlap(system, positions)
+        T = one_electron.kinetic(system, positions)
+        V = one_electron.nuclear(system, positions)
+        H = T + V
+        E4 = eri_ops.eri(system, positions)
+        terms = E4 - 0.5 * jnp.transpose(E4, (0, 2, 1, 3))
+        X = scf.lowdin_x(S)
+        st = _rhf_scf(
+            H,
+            X,
+            S,
+            nocc,
+            config.max_iterations,
+            config.epsilon,
+            config.convergence_metric,
+            config.diis_window(4, 6),
+            config.mixing_factor,
+            terms.reshape(n * n, n * n),
+        )
+        total = st.energy + nuclear_repulsion_jnp(charges, positions)
+        return total, st.converged, st.iteration
+
+    return fn
+
+
+def conformer_sweep(
+    system: MolecularSystem,
+    geometries: np.ndarray,
+    config: HartreeFockConfig | None = None,
+    mesh=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """RHF total energies for a batch of geometries (nconf, natom, 3).
+
+    The batch axis is sharded across the device mesh; each device runs its
+    conformers with the same compiled program. Returns (energies, converged).
+    """
+    config = config or HartreeFockConfig()
+    fn = rhf_energy_fn(system, config)
+    geometries = np.asarray(geometries, dtype=np.float64)
+    nconf = len(geometries)
+
+    if mesh is None:
+        mesh = data_mesh()
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    # pad the batch to a multiple of the device count
+    npad = (-nconf) % ndev
+    if npad:
+        geometries = np.concatenate([geometries, np.repeat(geometries[:1], npad, 0)])
+
+    sharding = batch_sharding(mesh)
+    geoms_dev = jax.device_put(jnp.asarray(geometries), sharding)
+    energies, converged, iters = jax.jit(jax.vmap(fn))(geoms_dev)
+    return (
+        np.asarray(energies)[:nconf],
+        np.asarray(converged)[:nconf],
+    )
