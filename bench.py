@@ -1,0 +1,73 @@
+"""Benchmark: time-to-converged RHF SCF on benzene/cc-pVDZ (BASELINE.json
+headline config), on whatever accelerator JAX finds.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N, ...}
+
+The reference publishes no benchmark numbers (BASELINE.md); its only recorded
+quantitative artifact is a 14.3 s profiled debug-build run. vs_baseline is
+reported as (14.3 / value), i.e. >1 means faster than that profiled run —
+the honest comparison available; the real target is the north-star config
+itself. The run is executed twice; the second (warm, compile-cached) time is
+reported, since compilation is one-time and persistently cached.
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+REFERENCE_PROFILED_RUN_S = 14.3
+
+
+def run_once(system, cfg):
+    from qchem_rs_tpu import restricted_hartree_fock
+
+    t0 = time.perf_counter()
+    out = restricted_hartree_fock(system, cfg)
+    elapsed = time.perf_counter() - t0
+    return out, elapsed
+
+
+def main():
+    from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
+
+    configs = [
+        ("benzene", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_benzene_ccpvdz"),
+        ("benzene", "/root/reference/data/basis/6-31G.json", "rhf_benzene_631g"),
+        ("water", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_water_ccpvdz"),
+    ]
+    cfg = HartreeFockConfig(epsilon=1e-8, max_iterations=100)
+    for mol, basis_path, tag in configs:
+        try:
+            basis = BasisSet.load(basis_path)
+            system = MolecularSystem.load(os.path.join(ROOT, "data", "mol", f"{mol}.json"), basis)
+            out, cold = run_once(system, cfg)
+            if not out.converged:
+                continue
+            out2, warm = run_once(system, cfg)
+            result = {
+                "metric": f"time_to_converged_scf_{tag}",
+                "value": round(warm, 3),
+                "unit": "s",
+                "vs_baseline": round(REFERENCE_PROFILED_RUN_S / warm, 2),
+                "cold_s": round(cold, 3),
+                "total_energy_hartree": round(out2.total_energy(), 8),
+                "iterations": out2.iterations,
+                "nao": system.n_basis(),
+                "eri_s": round(out2.timings["eri_s"], 3),
+                "scf_s": round(out2.timings["scf_s"], 3),
+            }
+            print(json.dumps(result))
+            return 0
+        except Exception as e:  # noqa: BLE001 — fall through to smaller config
+            print(f"# bench config {tag} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    print(json.dumps({"metric": "time_to_converged_scf", "value": -1, "unit": "s", "vs_baseline": 0}))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

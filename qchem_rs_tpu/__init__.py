@@ -10,9 +10,20 @@ Hartree-Fock requires ~1e-10 accurate integrals, so the whole framework runs
 in float64 (enabled here, before any jax.numpy use).
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the class-batched integral kernels compile
+# once per (class signature, batch shape); cache them across processes.
+_cache_dir = os.environ.get("QCHEM_COMPILE_CACHE", os.path.expanduser("~/.cache/qchem_rs_tpu/xla"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without these options
+    pass
 
 from qchem_rs_tpu.utils.basis import BasisSet
 from qchem_rs_tpu.utils.system import Atom, MolecularSystem

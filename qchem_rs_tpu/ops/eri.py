@@ -37,8 +37,10 @@ from qchem_rs_tpu.ops.mcmurchie import (
 )
 from qchem_rs_tpu.utils.system import MolecularSystem
 
-#: max elements for the (n, a, c, S1, S2) intermediate per chunk
-DEFAULT_CHUNK_BUDGET = 1 << 26
+#: max elements for the (n, a, c, S1, S2) intermediates per chunk. Sized
+#: conservatively: TPU f64 is emulated (float32 pairs) and XLA keeps several
+#: intermediates of this footprint live during the R-table recursion.
+DEFAULT_CHUNK_BUDGET = 1 << 22
 
 
 @dataclasses.dataclass
@@ -176,8 +178,9 @@ def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int) -> int:
     S1 = nhermite(g1.L)
     S2 = nhermite(g2.L)
     H = nhermite(g1.L + g2.L)
-    per_quartet = a * c * max(S1 * S2, H)
-    return int(np.clip(budget // per_quartet, 1, 1 << 14))
+    # R-table construction keeps ~two n-levels live plus the gathered R2
+    per_quartet = a * c * max(S1 * S2, 3 * H)
+    return int(np.clip(budget // per_quartet, 1, 1 << 12))
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))

@@ -1,0 +1,207 @@
+"""Integral-direct Fock builds: Schwarz-screened J/K without materializing
+the ERI tensor.
+
+This is the scale path the reference lacks entirely — it always materializes
+the dense n^4 tensor (rhf.rs:45,58-62, its binding scale limit; SURVEY.md §5
+"long-context" analogue). Here shell quartets are enumerated once per
+geometry, Schwarz-screened with |(P|Q)| <= q_P q_Q, packed into static-shape
+chunks, and every SCF iteration recomputes ERI values on the fly and
+contracts them straight into J and K.
+
+8-fold symmetry handling: each unique shell quartet is applied through all 8
+index images with its value pre-scaled by 1/((1+d_ij)(1+d_kl)(1+d_PQ)) so
+coincident images sum to weight one. J and K accumulate via scatter-add.
+
+The same chunk machinery backs the multi-chip sharded Fock build
+(qchem_rs_tpu/parallel/fock_sharded.py): quartet chunks are sharded across
+the mesh and partial J/K reduced with psum over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qchem_rs_tpu.ops.angular import ncart
+from qchem_rs_tpu.ops.eri import PairGroup, _eri_chunk, build_pair_groups
+from qchem_rs_tpu.utils.system import MolecularSystem
+
+
+def schwarz_bounds(groups: list[PairGroup]) -> list[np.ndarray]:
+    """q_P = sqrt(max_component (P|P)) per pair, per group (host numpy)."""
+    out = []
+    for g in groups:
+        vals = _eri_chunk(g.L, g.L, g.E, g.p, g.P, g.E, g.p, g.P)  # (n, A, A)
+        diag = jnp.max(jnp.abs(jnp.diagonal(vals, axis1=1, axis2=2)), axis=1)
+        out.append(np.sqrt(np.asarray(diag)))
+    return out
+
+
+@dataclasses.dataclass
+class QuartetBlock:
+    """A screened, padded batch of shell quartets for one class pair."""
+
+    g1: int  # index into the pair-group list
+    g2: int
+    br: np.ndarray  # (nq_padded,) bra pair index (into group g1)
+    kt: np.ndarray  # (nq_padded,) ket pair index (into group g2)
+    weight: np.ndarray  # (nq_padded,) symmetry weight (0 for padding)
+    nq: int  # true quartet count
+
+
+def screened_quartets(
+    groups: list[PairGroup],
+    schwarz: list[np.ndarray] | None = None,
+    threshold: float = 1e-12,
+    chunk_multiple: int = 256,
+) -> list[QuartetBlock]:
+    """Enumerate unique shell quartets above the Schwarz threshold.
+
+    Host-side (numpy) O(npairs^2) work — the candidate for the C++ runtime
+    path on large systems. Weights fold the 8-fold coincidence scaling:
+    w = 1/((1+d_ij)(1+d_kl)(1+d_PQ)).
+    """
+    blocks: list[QuartetBlock] = []
+    for i1, g1 in enumerate(groups):
+        for i2 in range(i1, len(groups)):
+            g2 = groups[i2]
+            same_group = i2 == i1
+            if same_group:
+                br, kt = np.triu_indices(g1.npairs)
+            else:
+                br, kt = np.meshgrid(
+                    np.arange(g1.npairs), np.arange(g2.npairs), indexing="ij"
+                )
+                br, kt = br.ravel(), kt.ravel()
+            if schwarz is not None and threshold > 0:
+                keep = schwarz[i1][br] * schwarz[i2][kt] > threshold
+                br, kt = br[keep], kt[keep]
+            if len(br) == 0:
+                continue
+            w = np.ones(len(br))
+            w /= 1.0 + (g1.i_shell[br] == g1.j_shell[br])
+            w /= 1.0 + (g2.i_shell[kt] == g2.j_shell[kt])
+            if same_group:
+                w /= 1.0 + (br == kt)
+            nq = len(br)
+            npad = (-nq) % chunk_multiple
+            if npad:
+                br = np.concatenate([br, np.zeros(npad, dtype=br.dtype)])
+                kt = np.concatenate([kt, np.zeros(npad, dtype=kt.dtype)])
+                w = np.concatenate([w, np.zeros(npad)])
+            blocks.append(QuartetBlock(g1=i1, g2=i2, br=br, kt=kt, weight=w, nq=nq))
+    return blocks
+
+
+def _block_device_args(groups: list[PairGroup], blk: QuartetBlock):
+    """Gather per-quartet device arrays for a block (once per geometry)."""
+    g1, g2 = groups[blk.g1], groups[blk.g2]
+    ncA, ncB = ncart(g1.la), ncart(g1.lb)
+    ncC, ncD = ncart(g2.la), ncart(g2.lb)
+    ao_i = jnp.asarray(g1.ao_i[blk.br])
+    ao_j = jnp.asarray(g1.ao_j[blk.br])
+    ao_k = jnp.asarray(g2.ao_i[blk.kt])
+    ao_l = jnp.asarray(g2.ao_j[blk.kt])
+    return dict(
+        E1=g1.E[blk.br],
+        p1=g1.p[blk.br],
+        P1=g1.P[blk.br],
+        E2=g2.E[blk.kt],
+        p2=g2.p[blk.kt],
+        P2=g2.P[blk.kt],
+        w=jnp.asarray(blk.weight),
+        ii=ao_i[:, None] + jnp.arange(ncA)[None, :],  # (n, ncA)
+        jj=ao_j[:, None] + jnp.arange(ncB)[None, :],
+        kk=ao_k[:, None] + jnp.arange(ncC)[None, :],
+        ll=ao_l[:, None] + jnp.arange(ncD)[None, :],
+    )
+
+
+def _jk_block(Lbra, Lket, shape4, args, D, J, K, nao):
+    """Accumulate one block's screened quartets into J and K."""
+    vals = _eri_chunk(
+        Lbra, Lket, args["E1"], args["p1"], args["P1"], args["E2"], args["p2"], args["P2"]
+    )
+    ncA, ncB, ncC, ncD = shape4
+    n = vals.shape[0]
+    vals = vals.reshape(n, ncA, ncB, ncC, ncD) * args["w"][:, None, None, None, None]
+    ii, jj, kk, ll = args["ii"], args["jj"], args["kk"], args["ll"]
+
+    # all 8 symmetry images: (bra-slot pair, ket-slot pair) with value axes
+    # tracking which AO array fills which slot
+    images = (
+        (ii, jj, kk, ll, "nabcd"),
+        (jj, ii, kk, ll, "nbacd"),
+        (ii, jj, ll, kk, "nabdc"),
+        (jj, ii, ll, kk, "nbadc"),
+        (kk, ll, ii, jj, "ncdab"),
+        (ll, kk, ii, jj, "ndcab"),
+        (kk, ll, jj, ii, "ncdba"),
+        (ll, kk, jj, ii, "ndcba"),
+    )
+    for (w_, x_, y_, z_, order) in images:
+        o1, o2, o3, o4 = order[1], order[2], order[3], order[4]
+        # J[w,x] += v * D[y,z]
+        Dg = D[y_[:, :, None], z_[:, None, :]]  # (n, |y|, |z|)
+        Jblk = jnp.einsum(f"nabcd,n{o3}{o4}->n{o1}{o2}", vals, Dg)
+        J = J.at[(w_[:, :, None] * nao + x_[:, None, :]).reshape(-1)].add(Jblk.reshape(-1))
+        # K[w,y] += v * D[x,z]
+        Dg2 = D[x_[:, :, None], z_[:, None, :]]
+        Kblk = jnp.einsum(f"nabcd,n{o2}{o4}->n{o1}{o3}", vals, Dg2)
+        K = K.at[(w_[:, :, None] * nao + y_[:, None, :]).reshape(-1)].add(Kblk.reshape(-1))
+    return J, K
+
+
+class DirectFockBuilder:
+    """Integral-direct screened J/K builder for one geometry.
+
+    Usage:
+        builder = DirectFockBuilder(system, threshold=1e-12)
+        J, K = builder.jk(D)        # D (nao, nao) -> J, K (nao, nao)
+    """
+
+    def __init__(
+        self,
+        system: MolecularSystem,
+        threshold: float = 1e-12,
+        positions=None,
+        chunk_quartets: int = 4096,
+    ):
+        self.system = system
+        self.nao = system.n_basis()
+        self.groups = build_pair_groups(system, positions)
+        self.schwarz = schwarz_bounds(self.groups)
+        self.blocks = screened_quartets(
+            self.groups, self.schwarz, threshold, chunk_multiple=1
+        )
+        self.chunk_quartets = chunk_quartets
+        # device args per block, chunked to bounded sizes
+        self._chunks = []
+        for blk in self.blocks:
+            g1, g2 = self.groups[blk.g1], self.groups[blk.g2]
+            shape4 = (ncart(g1.la), ncart(g1.lb), ncart(g2.la), ncart(g2.lb))
+            args = _block_device_args(self.groups, blk)
+            n = len(blk.br)
+            for s in range(0, n, chunk_quartets):
+                sl = slice(s, min(s + chunk_quartets, n))
+                self._chunks.append(
+                    (g1.L, g2.L, shape4, {k: v[sl] for k, v in args.items()})
+                )
+        self._jk_jit = jax.jit(self._jk_impl)
+
+    def _jk_impl(self, D):
+        # component norms are already folded into the pair Hermite tensors
+        # (ops/eri.py:_pair_hermite), so values are normalized-AO integrals
+        nao = self.nao
+        J = jnp.zeros(nao * nao)
+        K = jnp.zeros(nao * nao)
+        for (Lb, Lk, shape4, args) in self._chunks:
+            J, K = _jk_block(Lb, Lk, shape4, args, D, J, K, nao)
+        return J.reshape(nao, nao), K.reshape(nao, nao)
+
+    def jk(self, D):
+        return self._jk_jit(D)

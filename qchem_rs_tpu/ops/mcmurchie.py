@@ -120,30 +120,33 @@ def r_table(L: int, p, PC):
         base.append(acc * F[n])
         acc = acc * m2p
 
-    memo: dict[tuple[int, int, int, int], jnp.ndarray] = {}
+    # build level-by-level downward in the auxiliary index n so only two
+    # levels are ever live (bounds peak memory; the naive memoized DAG keeps
+    # O(L) levels alive and OOMs on TPU for large quartet chunks)
+    X, Y, Z = PC[..., 0], PC[..., 1], PC[..., 2]
+    prev: dict[tuple[int, int, int], jnp.ndarray] = {}
+    for n in range(L, -1, -1):
+        cur: dict[tuple[int, int, int], jnp.ndarray] = {(0, 0, 0): base[n]}
+        for order in range(1, L - n + 1):
+            for t in range(order + 1):
+                for u in range(order + 1 - t):
+                    v = order - t - u
+                    if t >= 1:
+                        out = X * prev[(t - 1, u, v)]
+                        if t >= 2:
+                            out = out + (t - 1) * prev[(t - 2, u, v)]
+                    elif u >= 1:
+                        out = Y * prev[(t, u - 1, v)]
+                        if u >= 2:
+                            out = out + (u - 1) * prev[(t, u - 2, v)]
+                    else:
+                        out = Z * prev[(t, u, v - 1)]
+                        if v >= 2:
+                            out = out + (v - 1) * prev[(t, u, v - 2)]
+                    cur[(t, u, v)] = out
+        prev = cur
 
-    def R(n, t, u, v):
-        if t == u == v == 0:
-            return base[n]
-        key = (n, t, u, v)
-        if key in memo:
-            return memo[key]
-        if t >= 1:
-            out = PC[..., 0] * R(n + 1, t - 1, u, v)
-            if t >= 2:
-                out = out + (t - 1) * R(n + 1, t - 2, u, v)
-        elif u >= 1:
-            out = PC[..., 1] * R(n + 1, t, u - 1, v)
-            if u >= 2:
-                out = out + (u - 1) * R(n + 1, t, u - 2, v)
-        else:
-            out = PC[..., 2] * R(n + 1, t, u, v - 1)
-            if v >= 2:
-                out = out + (v - 1) * R(n + 1, t, u, v - 2)
-        memo[key] = out
-        return out
-
-    return jnp.stack([R(0, t, u, v) for (t, u, v) in hermite_components(L)], axis=-1)
+    return jnp.stack([prev[tuv] for tuv in hermite_components(L)], axis=-1)
 
 
 @lru_cache(maxsize=None)

@@ -1,0 +1,54 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4): the
+sharded integral-direct Fock build must equal the single-device dense build,
+and conformer sweeps must shard over the batch axis."""
+
+import jax
+import numpy as np
+import pytest
+
+from qchem_rs_tpu import HartreeFockConfig, restricted_hartree_fock
+from qchem_rs_tpu.ops.eri import eri
+from qchem_rs_tpu.parallel.fock_sharded import ShardedFockBuilder
+from qchem_rs_tpu.parallel.mesh import data_mesh
+from qchem_rs_tpu.parallel.sweep import conformer_sweep
+from tests.helpers import load_reference_system
+
+
+@pytest.fixture(scope="module")
+def water():
+    return load_reference_system("water", "STO-3G")
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_jk_matches_dense(water):
+    n = water.n_basis()
+    rng = np.random.default_rng(1)
+    D = rng.standard_normal((n, n))
+    D = D + D.T
+    E = np.asarray(eri(water))
+    Jd = np.einsum("ijkl,kl->ij", E, D)
+    Kd = np.einsum("ikjl,kl->ij", E, D)
+    mesh = data_mesh(8, axis="q")
+    builder = ShardedFockBuilder(water, mesh, axis="q", threshold=0.0, chunk_quartets=16)
+    J, K = builder.jk(D)
+    np.testing.assert_allclose(np.asarray(J), Jd, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(K), Kd, atol=1e-10)
+
+
+def test_conformer_sweep_sharded(water):
+    # batch of 5 geometries (pads to 8 devices): stretched water scans
+    base = water.positions
+    geoms = np.stack([base * s for s in (0.95, 1.0, 1.05, 1.1, 1.2)])
+    cfg = HartreeFockConfig(epsilon=1e-8, max_iterations=100)
+    energies, converged = conformer_sweep(water, geoms, cfg)
+    assert converged.all()
+    # spot-check conformer 0 against the single-geometry path
+    single = restricted_hartree_fock(
+        water.with_positions(geoms[0]), HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    )
+    assert abs(energies[0] - single.total_energy()) < 1e-6
+    # energies vary across conformers
+    assert np.ptp(energies) > 1e-3
