@@ -61,32 +61,44 @@ def screened_quartets(
 ) -> list[QuartetBlock]:
     """Enumerate unique shell quartets above the Schwarz threshold.
 
-    Host-side (numpy) O(npairs^2) work — the candidate for the C++ runtime
-    path on large systems. Weights fold the 8-fold coincidence scaling:
-    w = 1/((1+d_ij)(1+d_kl)(1+d_PQ)).
+    Host-side O(npairs^2) work, done in the C++ runtime (cxx/screen.cpp via
+    ctypes) when available, numpy otherwise. Weights fold the 8-fold
+    coincidence scaling: w = 1/((1+d_ij)(1+d_kl)(1+d_PQ)).
     """
+    from qchem_rs_tpu.utils.native import screened_quartets_native
+
     blocks: list[QuartetBlock] = []
     for i1, g1 in enumerate(groups):
         for i2 in range(i1, len(groups)):
             g2 = groups[i2]
             same_group = i2 == i1
-            if same_group:
-                br, kt = np.triu_indices(g1.npairs)
+            q1 = schwarz[i1] if schwarz is not None else np.ones(g1.npairs)
+            q2 = schwarz[i2] if schwarz is not None else np.ones(g2.npairs)
+            tau = threshold if schwarz is not None else 0.0
+            native = screened_quartets_native(
+                g1.i_shell, g1.j_shell, g2.i_shell, g2.j_shell,
+                q1, q2, same_group, tau,
+            )
+            if native is not None:
+                br, kt, w = native
             else:
-                br, kt = np.meshgrid(
-                    np.arange(g1.npairs), np.arange(g2.npairs), indexing="ij"
-                )
-                br, kt = br.ravel(), kt.ravel()
-            if schwarz is not None and threshold > 0:
-                keep = schwarz[i1][br] * schwarz[i2][kt] > threshold
-                br, kt = br[keep], kt[keep]
+                if same_group:
+                    br, kt = np.triu_indices(g1.npairs)
+                else:
+                    br, kt = np.meshgrid(
+                        np.arange(g1.npairs), np.arange(g2.npairs), indexing="ij"
+                    )
+                    br, kt = br.ravel(), kt.ravel()
+                if tau > 0:
+                    keep = q1[br] * q2[kt] > tau
+                    br, kt = br[keep], kt[keep]
+                w = np.ones(len(br))
+                w /= 1.0 + (g1.i_shell[br] == g1.j_shell[br])
+                w /= 1.0 + (g2.i_shell[kt] == g2.j_shell[kt])
+                if same_group:
+                    w /= 1.0 + (br == kt)
             if len(br) == 0:
                 continue
-            w = np.ones(len(br))
-            w /= 1.0 + (g1.i_shell[br] == g1.j_shell[br])
-            w /= 1.0 + (g2.i_shell[kt] == g2.j_shell[kt])
-            if same_group:
-                w /= 1.0 + (br == kt)
             nq = len(br)
             npad = (-nq) % chunk_multiple
             if npad:

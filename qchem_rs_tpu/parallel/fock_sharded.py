@@ -50,14 +50,19 @@ class ShardedFockBuilder:
             n = args["w"].shape[0]
             npad = (-n) % ndev
             if npad:
-                args = {
-                    k: jnp.concatenate([v, jnp.zeros((npad,) + v.shape[1:], v.dtype)])
-                    for k, v in args.items()
-                }
-                # padded index rows must stay in-range: reuse row 0 indices
-                for k in ("ii", "jj", "kk", "ll"):
-                    args[k] = args[k].at[n:].set(args[k][0])
-                # padded E rows can stay zero; zero weight kills contributions
+                def _pad(k, v):
+                    # exponents pad with 1.0 (zero exponents give 0/0 NaNs in
+                    # the Boys/alpha math); E pads with 0 so values vanish;
+                    # index rows reuse row 0 to stay in-range; weights pad 0
+                    fill = jnp.ones if k in ("p1", "p2") else jnp.zeros
+                    pad = (
+                        jnp.broadcast_to(v[:1], (npad,) + v.shape[1:])
+                        if k in ("ii", "jj", "kk", "ll")
+                        else fill((npad,) + v.shape[1:], v.dtype)
+                    )
+                    return jnp.concatenate([v, pad])
+
+                args = {k: _pad(k, v) for k, v in args.items()}
             self._meta.append((Lb, Lk, shape4))
             self._chunk_args.append(args)
 
