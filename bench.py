@@ -58,8 +58,7 @@ def main():
                 "total_energy_hartree": round(out2.total_energy(), 8),
                 "iterations": out2.iterations,
                 "nao": system.n_basis(),
-                "eri_s": round(out2.timings["eri_s"], 3),
-                "scf_s": round(out2.timings["scf_s"], 3),
+                "run_s": round(out2.timings.get("total_s", warm), 3),
             }
             print(json.dumps(result))
             return 0

@@ -76,7 +76,6 @@ def cmd_rhf(args) -> int:
     start = time.perf_counter()
     out = restricted_hartree_fock(system, cfg)
     elapsed = time.perf_counter() - start
-    print(f"ERI computation took {out.timings['eri_s']:.3f}s")
     if not out.converged:
         print("hartree fock did not converge", file=sys.stderr)
         return 1

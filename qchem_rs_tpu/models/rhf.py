@@ -118,21 +118,63 @@ def _rhf_scf(
     return jax.lax.while_loop(cond, body, init)
 
 
+# one compiled end-to-end program (integrals + SCF fixed point) per
+# (system, config-signature); keyed weakly on the system object. A single
+# XLA program matters a lot on TPU, where this backend's per-program compile
+# latency is high — the eager orchestration variant compiled 200+ programs.
+from weakref import WeakKeyDictionary
+
+_RHF_DRIVERS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
+
+
+def _rhf_driver(system: MolecularSystem, config: HartreeFockConfig, nocc: int):
+    key = (
+        "rhf",
+        nocc,
+        config.max_iterations,
+        config.epsilon,
+        config.convergence_metric,
+        config.diis_window(4, 6),
+        config.mixing_factor,
+    )
+    cache = _RHF_DRIVERS.setdefault(system, {})
+    if key not in cache:
+        n = system.n_basis()
+
+        def full(positions):
+            S = one_electron.overlap(system, positions)
+            T = one_electron.kinetic(system, positions)
+            V = one_electron.nuclear(system, positions)
+            H = T + V
+            E4 = eri_ops.eri(system, positions)
+            # (ij|kl) - 1/2 (ik|jl) as an (n^2, n^2) operator (rhf.rs:58-62)
+            terms = E4 - 0.5 * jnp.transpose(E4, (0, 2, 1, 3))
+            X = scf.lowdin_x(S)
+            return _rhf_scf(
+                H,
+                X,
+                S,
+                nocc,
+                config.max_iterations,
+                config.epsilon,
+                config.convergence_metric,
+                config.diis_window(4, 6),
+                config.mixing_factor,
+                terms.reshape(n * n, n * n),
+            )
+
+        cache[key] = jax.jit(full)
+    return cache[key]
+
+
 def restricted_hartree_fock(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
-    *,
-    eri_tensor: Optional[jax.Array] = None,
 ) -> RestrictedHartreeFockOutput:
-    """Run RHF on a molecular system (reference entry point rhf.rs:32-35).
-
-    ``eri_tensor`` may be passed to reuse a precomputed dense ERI tensor
-    (e.g. across conformers of identical basis layout).
-    """
+    """Run RHF on a molecular system (reference entry point rhf.rs:32-35)."""
     import time
 
     config = config or HartreeFockConfig()
-    n = system.n_basis()
     n_electrons = system.n_electrons(config.charge)
     if config.spin_multiplicity not in (0, 1):
         raise ValueError("RHF requires a closed shell (spin multiplicity 1)")
@@ -141,38 +183,12 @@ def restricted_hartree_fock(
     nocc = n_electrons // 2
 
     timings: dict = {}
+    driver = _rhf_driver(system, config, nocc)
+    positions = jnp.asarray(system.positions)
     t0 = time.perf_counter()
-    S = one_electron.overlap(system)
-    T = one_electron.kinetic(system)
-    V = one_electron.nuclear(system)
-    H = (T + V).block_until_ready()
-    timings["one_electron_s"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    if eri_tensor is None:
-        eri_tensor = eri_ops.eri(system)
-    eri_tensor.block_until_ready()
-    timings["eri_s"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    # (ij|kl) - 1/2 (ik|jl) as an (n^2, n^2) operator (rhf.rs:58-62)
-    terms = eri_tensor - 0.5 * jnp.transpose(eri_tensor, (0, 2, 1, 3))
-    terms_mat = terms.reshape(n * n, n * n)
-    X = scf.lowdin_x(S)
-    st = _rhf_scf(
-        H,
-        X,
-        S,
-        nocc,
-        config.max_iterations,
-        config.epsilon,
-        config.convergence_metric,
-        config.diis_window(4, 6),
-        config.mixing_factor,
-        terms_mat,
-    )
+    st = driver(positions)
     st.density.block_until_ready()
-    timings["scf_s"] = time.perf_counter() - t0
+    timings["total_s"] = time.perf_counter() - t0
 
     return RestrictedHartreeFockOutput(
         orbital_energies=np.asarray(st.orbital_energies),

@@ -142,11 +142,56 @@ def _uhf_scf(
     return jax.lax.while_loop(cond, body, init)
 
 
+from weakref import WeakKeyDictionary
+
+_UHF_DRIVERS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
+
+
+def _uhf_driver(system: MolecularSystem, config: HartreeFockConfig, nocc: tuple[int, int]):
+    key = (
+        "uhf",
+        nocc,
+        config.max_iterations,
+        config.epsilon,
+        config.convergence_metric,
+        config.diis_window(2, 8),
+        config.mixing_factor,
+    )
+    cache = _UHF_DRIVERS.setdefault(system, {})
+    if key not in cache:
+        n = system.n_basis()
+
+        def full(positions):
+            S = one_electron.overlap(system, positions)
+            T = one_electron.kinetic(system, positions)
+            V = one_electron.nuclear(system, positions)
+            H = T + V
+            E4 = eri_ops.eri(system, positions)
+            eri_mat = E4.reshape(n * n, n * n)
+            k_mat = jnp.transpose(E4, (0, 2, 1, 3)).reshape(n * n, n * n)
+            X = scf.lowdin_x(S)
+            return _uhf_scf(
+                H,
+                X,
+                S,
+                nocc,
+                config.max_iterations,
+                config.epsilon,
+                config.convergence_metric,
+                config.diis_window(2, 8),
+                config.mixing_factor,
+                n,
+                eri_mat,
+                k_mat,
+            )
+
+        cache[key] = jax.jit(full)
+    return cache[key]
+
+
 def unrestricted_hartree_fock(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
-    *,
-    eri_tensor: Optional[jax.Array] = None,
 ) -> UnrestrictedHartreeFockOutput:
     """Run UHF (reference entry point uhf.rs:36-39), with working charge /
     spin-multiplicity support (config.spin_multiplicity == 0 reproduces the
@@ -154,44 +199,15 @@ def unrestricted_hartree_fock(
     import time
 
     config = config or HartreeFockConfig()
-    n = system.n_basis()
     n_electrons = system.n_electrons(config.charge)
     nocc = scf.electron_counts(n_electrons, config.spin_multiplicity)
 
     timings: dict = {}
+    driver = _uhf_driver(system, config, nocc)
     t0 = time.perf_counter()
-    S = one_electron.overlap(system)
-    T = one_electron.kinetic(system)
-    V = one_electron.nuclear(system)
-    H = (T + V).block_until_ready()
-    timings["one_electron_s"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    if eri_tensor is None:
-        eri_tensor = eri_ops.eri(system)
-    eri_tensor.block_until_ready()
-    timings["eri_s"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    eri_mat = eri_tensor.reshape(n * n, n * n)
-    k_mat = jnp.transpose(eri_tensor, (0, 2, 1, 3)).reshape(n * n, n * n)
-    X = scf.lowdin_x(S)
-    st = _uhf_scf(
-        H,
-        X,
-        S,
-        nocc,
-        config.max_iterations,
-        config.epsilon,
-        config.convergence_metric,
-        config.diis_window(2, 8),
-        config.mixing_factor,
-        n,
-        eri_mat,
-        k_mat,
-    )
+    st = driver(jnp.asarray(system.positions))
     st.density.block_until_ready()
-    timings["scf_s"] = time.perf_counter() - t0
+    timings["total_s"] = time.perf_counter() - t0
 
     return UnrestrictedHartreeFockOutput(
         orbital_energies_alpha=np.asarray(st.orbital_energies[0]),

@@ -143,9 +143,8 @@ def _r2_gather(Lbra: int, Lket: int) -> tuple[np.ndarray, np.ndarray]:
     return idx, sign
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _eri_chunk(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
-    """Contracted ERI block for one chunk of shell quartets.
+def _eri_chunk_core(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
+    """Contracted ERI block for one chunk of shell quartets (traceable core).
 
     E1 (n,a,A,s1), p1 (n,a), P1 (n,a,3); E2 (n,c,C,s2), p2 (n,c), P2 (n,c,3).
     Returns (n, A, C).
@@ -161,6 +160,9 @@ def _eri_chunk(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
     # (n,a,c,S1,S2) . (n,a,A,S1) -> (n,c,S2,A) -> with E2 (n,c,C,S2) -> (n,A,C)
     T1 = jnp.einsum("naAs,nacst->nctA", E1, R2)
     return jnp.einsum("nctA,ncCt->nAC", T1, E2)
+
+
+_eri_chunk = partial(jax.jit, static_argnums=(0, 1))(_eri_chunk_core)
 
 
 def _quartet_indices(g1: PairGroup, g2: PairGroup, same: bool):
@@ -183,7 +185,6 @@ def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int) -> int:
     return int(np.clip(budget // per_quartet, 1, 1 << 12))
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _scatter_quartets(nao: int, flat, vals, ii, jj, kk, ll, valid):
     """Scatter a quartet block into the dense (nao^4 + 1,) buffer under
     8-fold permutational symmetry.
@@ -241,34 +242,44 @@ def eri(system: MolecularSystem, positions=None, chunk_budget: int = DEFAULT_CHU
             if nq == 0:
                 continue
             chunk = _chunk_size(g1, g2, chunk_budget)
+            nchunks = -(-nq // chunk)
+            npad = nchunks * chunk - nq
+            br = np.concatenate([br, np.zeros(npad, br.dtype)]).astype(np.int32)
+            kt = np.concatenate([kt, np.zeros(npad, kt.dtype)]).astype(np.int32)
+            valid = np.arange(nchunks * chunk) < nq
             ncA, ncB = ncart(g1.la), ncart(g1.lb)
             ncC, ncD = ncart(g2.la), ncart(g2.lb)
-            for start in range(0, nq, chunk):
-                sl = slice(start, min(start + chunk, nq))
-                brc, ktc = br[sl], kt[sl]
-                npad = chunk - len(brc)
-                if npad:
-                    brc = np.concatenate([brc, np.zeros(npad, dtype=brc.dtype)])
-                    ktc = np.concatenate([ktc, np.zeros(npad, dtype=ktc.dtype)])
-                vals = _eri_chunk(
-                    g1.L,
-                    g2.L,
-                    g1.E[brc],
-                    g1.p[brc],
-                    g1.P[brc],
-                    g2.E[ktc],
-                    g2.p[ktc],
-                    g2.P[ktc],
-                )  # (chunk, A, C)
-                vals = vals.reshape(chunk, ncA, ncB, ncC, ncD)
-                ii = jnp.asarray(g1.ao_i[brc])[:, None, None, None, None] + jnp.arange(ncA)[None, :, None, None, None]
-                jj = jnp.asarray(g1.ao_j[brc])[:, None, None, None, None] + jnp.arange(ncB)[None, None, :, None, None]
-                kk = jnp.asarray(g2.ao_i[ktc])[:, None, None, None, None] + jnp.arange(ncC)[None, None, None, :, None]
-                ll = jnp.asarray(g2.ao_j[ktc])[:, None, None, None, None] + jnp.arange(ncD)[None, None, None, None, :]
-                valid = jnp.asarray(
-                    (np.arange(chunk) < (sl.stop - sl.start))
-                ).reshape(chunk, 1, 1, 1, 1)
-                flat = _scatter_quartets(nao, flat, vals, ii, jj, kk, ll, valid)
+            ao_i1 = jnp.asarray(g1.ao_i.astype(np.int32))
+            ao_j1 = jnp.asarray(g1.ao_j.astype(np.int32))
+            ao_i2 = jnp.asarray(g2.ao_i.astype(np.int32))
+            ao_j2 = jnp.asarray(g2.ao_j.astype(np.int32))
+            Lb, Lk = g1.L, g2.L
+
+            def body(carry, xs, g1=g1, g2=g2, Lb=Lb, Lk=Lk, ncA=ncA, ncB=ncB,
+                     ncC=ncC, ncD=ncD, ao_i1=ao_i1, ao_j1=ao_j1, ao_i2=ao_i2,
+                     ao_j2=ao_j2):
+                brc, ktc, vld = xs
+                vals = _eri_chunk_core(
+                    Lb, Lk,
+                    g1.E[brc], g1.p[brc], g1.P[brc],
+                    g2.E[ktc], g2.p[ktc], g2.P[ktc],
+                )
+                vals = vals.reshape(-1, ncA, ncB, ncC, ncD)
+                ii = ao_i1[brc][:, None, None, None, None] + jnp.arange(ncA)[None, :, None, None, None]
+                jj = ao_j1[brc][:, None, None, None, None] + jnp.arange(ncB)[None, None, :, None, None]
+                kk = ao_i2[ktc][:, None, None, None, None] + jnp.arange(ncC)[None, None, None, :, None]
+                ll = ao_j2[ktc][:, None, None, None, None] + jnp.arange(ncD)[None, None, None, None, :]
+                carry = _scatter_quartets(
+                    nao, carry, vals, ii, jj, kk, ll, vld[:, None, None, None, None]
+                )
+                return carry, None
+
+            xs = (
+                jnp.asarray(br.reshape(nchunks, chunk)),
+                jnp.asarray(kt.reshape(nchunks, chunk)),
+                jnp.asarray(valid.reshape(nchunks, chunk)),
+            )
+            flat, _ = jax.lax.scan(body, flat, xs)
     return flat[:-1].reshape(nao, nao, nao, nao)
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qchem_rs_tpu.ops.angular import ncart
-from qchem_rs_tpu.ops.eri import PairGroup, _eri_chunk, build_pair_groups
+from qchem_rs_tpu.ops.eri import PairGroup, _eri_chunk, _eri_chunk_core, build_pair_groups
 from qchem_rs_tpu.utils.system import MolecularSystem
 
 
@@ -109,33 +109,35 @@ def screened_quartets(
     return blocks
 
 
-def _block_device_args(groups: list[PairGroup], blk: QuartetBlock):
-    """Gather per-quartet device arrays for a block (once per geometry)."""
-    g1, g2 = groups[blk.g1], groups[blk.g2]
+def _gather_block_args(g1: PairGroup, g2: PairGroup, br, kt, w):
+    """Per-quartet device arrays for a chunk, gathered from group arrays.
+
+    br/kt may be traced (e.g. inside lax.scan); w is the symmetry weight.
+    """
     ncA, ncB = ncart(g1.la), ncart(g1.lb)
     ncC, ncD = ncart(g2.la), ncart(g2.lb)
-    ao_i = jnp.asarray(g1.ao_i[blk.br])
-    ao_j = jnp.asarray(g1.ao_j[blk.br])
-    ao_k = jnp.asarray(g2.ao_i[blk.kt])
-    ao_l = jnp.asarray(g2.ao_j[blk.kt])
+    ao_i = jnp.asarray(g1.ao_i.astype(np.int32))[br]
+    ao_j = jnp.asarray(g1.ao_j.astype(np.int32))[br]
+    ao_k = jnp.asarray(g2.ao_i.astype(np.int32))[kt]
+    ao_l = jnp.asarray(g2.ao_j.astype(np.int32))[kt]
     return dict(
-        E1=g1.E[blk.br],
-        p1=g1.p[blk.br],
-        P1=g1.P[blk.br],
-        E2=g2.E[blk.kt],
-        p2=g2.p[blk.kt],
-        P2=g2.P[blk.kt],
-        w=jnp.asarray(blk.weight),
-        ii=ao_i[:, None] + jnp.arange(ncA)[None, :],  # (n, ncA)
-        jj=ao_j[:, None] + jnp.arange(ncB)[None, :],
-        kk=ao_k[:, None] + jnp.arange(ncC)[None, :],
-        ll=ao_l[:, None] + jnp.arange(ncD)[None, :],
+        E1=g1.E[br],
+        p1=g1.p[br],
+        P1=g1.P[br],
+        E2=g2.E[kt],
+        p2=g2.p[kt],
+        P2=g2.P[kt],
+        w=w,
+        ii=ao_i[:, None] + jnp.arange(ncA, dtype=jnp.int32)[None, :],  # (n, ncA)
+        jj=ao_j[:, None] + jnp.arange(ncB, dtype=jnp.int32)[None, :],
+        kk=ao_k[:, None] + jnp.arange(ncC, dtype=jnp.int32)[None, :],
+        ll=ao_l[:, None] + jnp.arange(ncD, dtype=jnp.int32)[None, :],
     )
 
 
 def _jk_block(Lbra, Lket, shape4, args, D, J, K, nao):
-    """Accumulate one block's screened quartets into J and K."""
-    vals = _eri_chunk(
+    """Accumulate one chunk's screened quartets into J and K."""
+    vals = _eri_chunk_core(
         Lbra, Lket, args["E1"], args["p1"], args["P1"], args["E2"], args["p2"], args["P2"]
     )
     ncA, ncB, ncC, ncD = shape4
@@ -188,21 +190,23 @@ class DirectFockBuilder:
         self.groups = build_pair_groups(system, positions)
         self.schwarz = schwarz_bounds(self.groups)
         self.blocks = screened_quartets(
-            self.groups, self.schwarz, threshold, chunk_multiple=1
+            self.groups, self.schwarz, threshold, chunk_multiple=chunk_quartets
         )
         self.chunk_quartets = chunk_quartets
-        # device args per block, chunked to bounded sizes
-        self._chunks = []
+        # per block: static meta + (nchunks, chunk) index/weight arrays; the
+        # per-quartet data is gathered inside the scan body so the whole J/K
+        # build is ONE compiled program with one HLO copy per quartet class
+        self._scan_blocks = []
         for blk in self.blocks:
             g1, g2 = self.groups[blk.g1], self.groups[blk.g2]
             shape4 = (ncart(g1.la), ncart(g1.lb), ncart(g2.la), ncart(g2.lb))
-            args = _block_device_args(self.groups, blk)
-            n = len(blk.br)
-            for s in range(0, n, chunk_quartets):
-                sl = slice(s, min(s + chunk_quartets, n))
-                self._chunks.append(
-                    (g1.L, g2.L, shape4, {k: v[sl] for k, v in args.items()})
-                )
+            nchunks = len(blk.br) // chunk_quartets
+            xs = (
+                jnp.asarray(blk.br.astype(np.int32).reshape(nchunks, chunk_quartets)),
+                jnp.asarray(blk.kt.astype(np.int32).reshape(nchunks, chunk_quartets)),
+                jnp.asarray(blk.weight.reshape(nchunks, chunk_quartets)),
+            )
+            self._scan_blocks.append((g1, g2, shape4, xs))
         self._jk_jit = jax.jit(self._jk_impl)
 
     def _jk_impl(self, D):
@@ -211,8 +215,16 @@ class DirectFockBuilder:
         nao = self.nao
         J = jnp.zeros(nao * nao)
         K = jnp.zeros(nao * nao)
-        for (Lb, Lk, shape4, args) in self._chunks:
-            J, K = _jk_block(Lb, Lk, shape4, args, D, J, K, nao)
+
+        for (g1, g2, shape4, xs) in self._scan_blocks:
+            def body(carry, x, g1=g1, g2=g2, shape4=shape4):
+                Jc, Kc = carry
+                br, kt, w = x
+                args = _gather_block_args(g1, g2, br, kt, w)
+                Jc, Kc = _jk_block(g1.L, g2.L, shape4, args, D, Jc, Kc, nao)
+                return (Jc, Kc), None
+
+            (J, K), _ = jax.lax.scan(body, (J, K), xs)
         return J.reshape(nao, nao), K.reshape(nao, nao)
 
     def jk(self, D):
