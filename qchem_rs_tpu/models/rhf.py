@@ -73,10 +73,15 @@ def _rhf_scf(
     diis_window: tuple[int, int],
     mixing: float,
     terms_mat: jax.Array,  # (n^2, n^2): (ij|kl) - 1/2 (ik|jl)
+    density_guess: Optional[jax.Array] = None,  # warm start (checkpoint/sweep)
 ) -> _ScfState:
     n = H.shape[0]
     diis_min, diis_max = diis_window
-    D0 = scf.huckel_guess(H, S, X, nocc, scale=2.0)
+    D0 = (
+        scf.huckel_guess(H, S, X, nocc, scale=2.0)
+        if density_guess is None
+        else density_guess
+    )
 
     def body(st: _ScfState) -> _ScfState:
         D = st.density
@@ -127,10 +132,13 @@ from weakref import WeakKeyDictionary
 _RHF_DRIVERS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
 
 
-def _rhf_driver(system: MolecularSystem, config: HartreeFockConfig, nocc: int):
+def _rhf_driver(
+    system: MolecularSystem, config: HartreeFockConfig, nocc: int, warm: bool = False
+):
     key = (
         "rhf",
         nocc,
+        warm,
         config.max_iterations,
         config.epsilon,
         config.convergence_metric,
@@ -141,7 +149,7 @@ def _rhf_driver(system: MolecularSystem, config: HartreeFockConfig, nocc: int):
     if key not in cache:
         n = system.n_basis()
 
-        def full(positions):
+        def full(positions, density_guess=None):
             S = one_electron.overlap(system, positions)
             T = one_electron.kinetic(system, positions)
             V = one_electron.nuclear(system, positions)
@@ -161,17 +169,24 @@ def _rhf_driver(system: MolecularSystem, config: HartreeFockConfig, nocc: int):
                 config.diis_window(4, 6),
                 config.mixing_factor,
                 terms.reshape(n * n, n * n),
+                density_guess,
             )
 
-        cache[key] = jax.jit(full)
+        cache[key] = jax.jit(full) if warm else jax.jit(lambda p: full(p))
     return cache[key]
 
 
 def restricted_hartree_fock(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
+    *,
+    density_guess: Optional[np.ndarray] = None,
 ) -> RestrictedHartreeFockOutput:
-    """Run RHF on a molecular system (reference entry point rhf.rs:32-35)."""
+    """Run RHF on a molecular system (reference entry point rhf.rs:32-35).
+
+    ``density_guess`` warm-starts the SCF (checkpoint resume, conformer-sweep
+    chaining) in place of the extended-Hückel guess.
+    """
     import time
 
     config = config or HartreeFockConfig()
@@ -183,10 +198,11 @@ def restricted_hartree_fock(
     nocc = n_electrons // 2
 
     timings: dict = {}
-    driver = _rhf_driver(system, config, nocc)
+    warm = density_guess is not None
+    driver = _rhf_driver(system, config, nocc, warm=warm)
     positions = jnp.asarray(system.positions)
     t0 = time.perf_counter()
-    st = driver(positions)
+    st = driver(positions, jnp.asarray(density_guess)) if warm else driver(positions)
     st.density.block_until_ready()
     timings["total_s"] = time.perf_counter() - t0
 
