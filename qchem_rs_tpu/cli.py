@@ -59,6 +59,7 @@ def _build(args):
         spin_multiplicity=getattr(args, "spin_multiplicity", 0) or 0,
         convergence_metric=args.convergence,
         mixing_factor=args.mixing,
+        verbose=args.verbose,
     )
     return system, cfg
 

@@ -50,6 +50,9 @@ class HartreeFockConfig:
     #: screened J/K every iteration without storing ERIs (for systems whose
     #: ERI tensor exceeds HBM).
     fock_mode: str = "incore"
+    #: per-iteration SCF logging from inside the jitted loop
+    #: (jax.debug.print analogue of the reference's log::info!, rhf.rs:90-92)
+    verbose: bool = False
 
     def diis_window(self, default_min: int, default_max: int) -> tuple[int, int]:
         return (

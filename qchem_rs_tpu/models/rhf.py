@@ -61,7 +61,7 @@ class _ScfState(NamedTuple):
     coefficients: jax.Array
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 11))
 def _rhf_scf(
     H: jax.Array,
     X: jax.Array,
@@ -74,6 +74,7 @@ def _rhf_scf(
     mixing: float,
     terms_mat: jax.Array,  # (n^2, n^2): (ij|kl) - 1/2 (ik|jl)
     density_guess: Optional[jax.Array] = None,  # warm start (checkpoint/sweep)
+    verbose: bool = False,
 ) -> _ScfState:
     n = H.shape[0]
     diis_min, diis_max = diis_window
@@ -95,6 +96,13 @@ def _rhf_scf(
         D = D + mixing * d_change  # rhf.rs:78-82 (F = 1.0 default)
         energy = 0.5 * jnp.sum(D * (2.0 * H + G))  # rhf.rs:84-85 (post-update D, pre-update G)
         rms = scf.density_rms(d_change, metric)
+        if verbose:  # in-jit analogue of the reference's per-iteration log::info!
+            jax.debug.print(
+                "iteration {i:<4} - electronic energy {e:1.4f}. density rms {r:1.4e}",
+                i=st.iteration,
+                e=energy,
+                r=rms,
+            )
         return _ScfState(
             iteration=st.iteration + 1,
             density=D,
@@ -144,6 +152,7 @@ def _rhf_driver(
         config.convergence_metric,
         config.diis_window(4, 6),
         config.mixing_factor,
+        config.verbose,
     )
     cache = _RHF_DRIVERS.setdefault(system, {})
     if key not in cache:
@@ -170,6 +179,7 @@ def _rhf_driver(
                 config.mixing_factor,
                 terms.reshape(n * n, n * n),
                 density_guess,
+                config.verbose,
             )
 
         cache[key] = jax.jit(full) if warm else jax.jit(lambda p: full(p))

@@ -61,7 +61,7 @@ class _UhfState(NamedTuple):
     coefficients: jax.Array  # (2, n, n)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 13))
 def _uhf_scf(
     H: jax.Array,
     X: jax.Array,
@@ -75,17 +75,23 @@ def _uhf_scf(
     n: int,
     eri_mat: jax.Array,  # (n^2, n^2) (ij|kl)
     k_mat: jax.Array,  # (n^2, n^2) (ik|jl)
+    density_guess: Optional[jax.Array] = None,  # (2, n, n) warm start
+    verbose: bool = False,
 ) -> _UhfState:
     diis_min, diis_max = diis_window
     occ_mask = jnp.stack(
         [jnp.arange(n) < nocc[0], jnp.arange(n) < nocc[1]]
     ).astype(H.dtype)  # (2, n)
 
-    D0 = jnp.stack(
-        [
-            scf.huckel_guess(H, S, X, nocc[0], scale=1.0),
-            scf.huckel_guess(H, S, X, nocc[1], scale=1.0),
-        ]
+    D0 = (
+        jnp.stack(
+            [
+                scf.huckel_guess(H, S, X, nocc[0], scale=1.0),
+                scf.huckel_guess(H, S, X, nocc[1], scale=1.0),
+            ]
+        )
+        if density_guess is None
+        else density_guess
     )
 
     def body(st: _UhfState) -> _UhfState:
@@ -111,6 +117,10 @@ def _uhf_scf(
         else:
             rms = jnp.mean(per_spin_rms)
             conv = rms < epsilon
+        if verbose:  # uhf.rs:138 log::info! analogue
+            jax.debug.print(
+                "iteration {i} - density rms {r:03.3e}", i=st.iteration, r=rms
+            )
         return _UhfState(
             iteration=st.iteration + 1,
             density=D,
@@ -147,21 +157,28 @@ from weakref import WeakKeyDictionary
 _UHF_DRIVERS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
 
 
-def _uhf_driver(system: MolecularSystem, config: HartreeFockConfig, nocc: tuple[int, int]):
+def _uhf_driver(
+    system: MolecularSystem,
+    config: HartreeFockConfig,
+    nocc: tuple[int, int],
+    warm: bool = False,
+):
     key = (
         "uhf",
         nocc,
+        warm,
         config.max_iterations,
         config.epsilon,
         config.convergence_metric,
         config.diis_window(2, 8),
         config.mixing_factor,
+        config.verbose,
     )
     cache = _UHF_DRIVERS.setdefault(system, {})
     if key not in cache:
         n = system.n_basis()
 
-        def full(positions):
+        def full(positions, density_guess=None):
             S = one_electron.overlap(system, positions)
             T = one_electron.kinetic(system, positions)
             V = one_electron.nuclear(system, positions)
@@ -183,15 +200,19 @@ def _uhf_driver(system: MolecularSystem, config: HartreeFockConfig, nocc: tuple[
                 n,
                 eri_mat,
                 k_mat,
+                density_guess,
+                config.verbose,
             )
 
-        cache[key] = jax.jit(full)
+        cache[key] = jax.jit(full) if warm else jax.jit(lambda p: full(p))
     return cache[key]
 
 
 def unrestricted_hartree_fock(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
+    *,
+    density_guess: Optional[np.ndarray] = None,
 ) -> UnrestrictedHartreeFockOutput:
     """Run UHF (reference entry point uhf.rs:36-39), with working charge /
     spin-multiplicity support (config.spin_multiplicity == 0 reproduces the
@@ -203,9 +224,11 @@ def unrestricted_hartree_fock(
     nocc = scf.electron_counts(n_electrons, config.spin_multiplicity)
 
     timings: dict = {}
-    driver = _uhf_driver(system, config, nocc)
+    warm = density_guess is not None
+    driver = _uhf_driver(system, config, nocc, warm=warm)
     t0 = time.perf_counter()
-    st = driver(jnp.asarray(system.positions))
+    positions = jnp.asarray(system.positions)
+    st = driver(positions, jnp.asarray(density_guess)) if warm else driver(positions)
     st.density.block_until_ready()
     timings["total_s"] = time.perf_counter() - t0
 
