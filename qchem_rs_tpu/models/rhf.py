@@ -186,6 +186,69 @@ def _rhf_driver(
     return cache[key]
 
 
+def _rhf_scf_direct(
+    H: jax.Array,
+    X: jax.Array,
+    S: jax.Array,
+    nocc: int,
+    config: HartreeFockConfig,
+    jk_fn,
+    density_guess: Optional[jax.Array] = None,
+) -> _ScfState:
+    """SCF loop with an integral-direct J/K builder (no ERI tensor).
+
+    Same fixed-point structure as _rhf_scf; G = J - K/2 is rebuilt from
+    Schwarz-screened quartet batches every iteration via ``jk_fn`` (a
+    traceable closure from DirectFockBuilder/ShardedFockBuilder).
+    """
+    n = H.shape[0]
+    diis_min, diis_max = config.diis_window(4, 6)
+    D0 = (
+        scf.huckel_guess(H, S, X, nocc, scale=2.0)
+        if density_guess is None
+        else density_guess
+    )
+
+    def body(st: _ScfState) -> _ScfState:
+        D = st.density
+        J, K = jk_fn(D)
+        G = J - 0.5 * K
+        F = H + G
+        err = F @ D @ S - S @ D @ F
+        F, diis = diis_apply(st.diis, err, F, diis_min)
+        C, w = scf.solve_fock(F, X)
+        D_new = scf.density_from_coeffs(C, nocc, scale=2.0)
+        d_change = D_new - D
+        D = D + config.mixing_factor * d_change
+        energy = 0.5 * jnp.sum(D * (2.0 * H + G))
+        rms = scf.density_rms(d_change, config.convergence_metric)
+        return _ScfState(
+            iteration=st.iteration + 1,
+            density=D,
+            diis=diis,
+            energy=energy,
+            rms=rms,
+            converged=rms < config.epsilon,
+            orbital_energies=w,
+            coefficients=C,
+        )
+
+    def cond(st: _ScfState) -> jax.Array:
+        return (~st.converged) & (st.iteration <= config.max_iterations)
+
+    init = _ScfState(
+        iteration=jnp.zeros((), jnp.int32),
+        density=D0,
+        diis=diis_init(diis_max, n),
+        energy=jnp.zeros(()),
+        rms=jnp.asarray(jnp.inf),
+        converged=jnp.zeros((), bool),
+        orbital_energies=jnp.zeros(n),
+        coefficients=jnp.zeros((n, n)),
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
 def restricted_hartree_fock(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
@@ -209,10 +272,29 @@ def restricted_hartree_fock(
 
     timings: dict = {}
     warm = density_guess is not None
-    driver = _rhf_driver(system, config, nocc, warm=warm)
     positions = jnp.asarray(system.positions)
     t0 = time.perf_counter()
-    st = driver(positions, jnp.asarray(density_guess)) if warm else driver(positions)
+    if config.fock_mode == "direct":
+        from qchem_rs_tpu.ops import one_electron
+        from qchem_rs_tpu.ops.fock import DirectFockBuilder
+
+        builder = DirectFockBuilder(system, threshold=config.screening_threshold)
+        S = one_electron.overlap(system, positions)
+        H = one_electron.kinetic(system, positions) + one_electron.nuclear(
+            system, positions
+        )
+        X = scf.lowdin_x(S)
+        guess = jnp.asarray(density_guess) if warm else None
+        st = jax.jit(
+            lambda H, X, S, g: _rhf_scf_direct(
+                H, X, S, nocc, config, builder._jk_impl, g
+            )
+        )(H, X, S, guess) if warm else jax.jit(
+            lambda H, X, S: _rhf_scf_direct(H, X, S, nocc, config, builder._jk_impl)
+        )(H, X, S)
+    else:
+        driver = _rhf_driver(system, config, nocc, warm=warm)
+        st = driver(positions, jnp.asarray(density_guess)) if warm else driver(positions)
     st.density.block_until_ready()
     timings["total_s"] = time.perf_counter() - t0
 
