@@ -1,0 +1,85 @@
+"""CLI parity tests (reference printed fields: main.rs:98-106/143-152)."""
+
+import numpy as np
+import pytest
+
+from qchem_rs_tpu import cli
+from tests.helpers import DATA_BASIS, DATA_MOL
+
+
+def test_rhf_subcommand(capsys):
+    rc = cli.main(
+        [
+            "rhf",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--epsilon", "1e-8",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "hartree fock converged after" in out
+    assert "electronic energy:" in out
+    assert "nuclear repulsion energy:" in out
+    assert "hartree fock energy: -1.117" in out
+    assert "orbital energies:" in out
+
+
+def test_uhf_subcommand(capsys):
+    rc = cli.main(
+        [
+            "uhf",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--epsilon", "1e-8",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "orbital energies alpha spin:" in out
+    assert "orbital energies beta spin:" in out
+
+
+def test_uhf_charge_spin_flags_work(capsys):
+    # the reference accepts these flags and ignores them (main.rs:111-117);
+    # here they must actually change the result
+    args = [
+        "uhf",
+        "-b", f"{DATA_BASIS}/STO-3G.json",
+        "-m", f"{DATA_MOL}/water.json",
+        "--epsilon", "1e-8",
+    ]
+    assert cli.main(args) == 0
+    neutral = capsys.readouterr().out
+    assert cli.main(args + ["--charge", "1", "--spin-multiplicity", "2"]) == 0
+    cation = capsys.readouterr().out
+
+    def energy(s):
+        line = [l for l in s.splitlines() if l.startswith("hartree fock energy")][0]
+        return float(line.split(":")[1])
+
+    assert energy(neutral) != energy(cation)
+
+
+def test_info_subcommand(capsys):
+    rc = cli.main(
+        ["info", "-b", f"{DATA_BASIS}/STO-3G.json", "-m", f"{DATA_MOL}/water.json"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "7 AOs" in out
+    assert "electrons: 10" in out
+
+
+def test_nonconvergence_exit_code(capsys):
+    rc = cli.main(
+        [
+            "rhf",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/water.json",
+            "--max-iterations", "1",
+            "--epsilon", "1e-14",
+        ]
+    )
+    assert rc == 1
+    assert "did not converge" in capsys.readouterr().err
