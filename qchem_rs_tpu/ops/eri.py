@@ -231,7 +231,7 @@ def eri(system: MolecularSystem, positions=None, chunk_budget: int = DEFAULT_CHU
     to hold nao^4 in HBM use the integral-direct Fock build instead
     (qchem_rs_tpu.ops.fock / parallel.fock_sharded).
     """
-    nao = system.n_basis()
+    nao = system.n_basis_cart()
     groups = build_pair_groups(system, positions)
     flat = jnp.zeros(nao**4 + 1, dtype=jnp.float64)
     for gi, g1 in enumerate(groups):
@@ -280,7 +280,14 @@ def eri(system: MolecularSystem, positions=None, chunk_budget: int = DEFAULT_CHU
                 jnp.asarray(valid.reshape(nchunks, chunk)),
             )
             flat, _ = jax.lax.scan(body, flat, xs)
-    return flat[:-1].reshape(nao, nao, nao, nao)
+    out = flat[:-1].reshape(nao, nao, nao, nao)
+    if system.spherical:
+        T = jnp.asarray(system.sph_T)
+        out = jnp.einsum("pqrs,pi->iqrs", out, T)
+        out = jnp.einsum("iqrs,qj->ijrs", out, T)
+        out = jnp.einsum("ijrs,rk->ijks", out, T)
+        out = jnp.einsum("ijks,sl->ijkl", out, T)
+    return out
 
 
 class EriTensor:

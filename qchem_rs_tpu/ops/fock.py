@@ -186,7 +186,7 @@ class DirectFockBuilder:
         chunk_quartets: int = 4096,
     ):
         self.system = system
-        self.nao = system.n_basis()
+        self.nao = system.n_basis_cart()
         self.groups = build_pair_groups(system, positions)
         self.schwarz = schwarz_bounds(self.groups)
         self.blocks = screened_quartets(
@@ -212,6 +212,13 @@ class DirectFockBuilder:
     def _jk_impl(self, D):
         # component norms are already folded into the pair Hermite tensors
         # (ops/eri.py:_pair_hermite), so values are normalized-AO integrals
+        if self.system.spherical:
+            T = jnp.asarray(self.system.sph_T)
+            J, K = self._jk_cart(T @ D @ T.T)
+            return T.T @ J @ T, T.T @ K @ T
+        return self._jk_cart(D)
+
+    def _jk_cart(self, D):
         nao = self.nao
         J = jnp.zeros(nao * nao)
         K = jnp.zeros(nao * nao)

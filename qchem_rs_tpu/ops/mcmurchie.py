@@ -103,6 +103,41 @@ def e_cubes(imax: int, jmax: int, a, b, AB):
     return cubes
 
 
+@lru_cache(maxsize=None)
+def _r_plan(L: int):
+    """Static gather plan for the vectorized R recursion.
+
+    For each Hermite entry s=(t,u,v) (s>0), reduce along the first nonzero
+    dimension d: R^{(n)}_s = PC_d R^{(n+1)}_{s-e_d} + c R^{(n+1)}_{s-2e_d}
+    with c = (s_d - 1). c == 0 exactly when s-2e_d is out of range, so idx2
+    can safely point anywhere (0) in that case.
+    """
+    comps = hermite_components(L)
+    index = hermite_index(L)
+    H = len(comps)
+    onehot = np.zeros((H, 3))
+    idx1 = np.zeros(H, dtype=np.int32)
+    idx2 = np.zeros(H, dtype=np.int32)
+    coef = np.zeros(H)
+    for s, (t, u, v) in enumerate(comps):
+        if s == 0:
+            continue
+        if t >= 1:
+            d, e1, c = 0, (t - 1, u, v), t - 1
+            e2 = (t - 2, u, v)
+        elif u >= 1:
+            d, e1, c = 1, (t, u - 1, v), u - 1
+            e2 = (t, u - 2, v)
+        else:
+            d, e1, c = 2, (t, u, v - 1), v - 1
+            e2 = (t, u, v - 2)
+        onehot[s, d] = 1.0
+        idx1[s] = index[e1]
+        idx2[s] = index[e2] if c > 0 else 0
+        coef[s] = c
+    return onehot, idx1, idx2, coef
+
+
 def r_table(L: int, p, PC):
     """Hermite Coulomb integrals R_{tuv} = R^{(0)}_{tuv}(p, PC) for all
     t+u+v <= L, stacked along the last axis in ``hermite_components(L)``
@@ -110,6 +145,12 @@ def r_table(L: int, p, PC):
 
     p: exponents, batch shape ``B``; PC: shape ``B + (3,)``.
     Returns shape ``B + (nhermite(L),)``.
+
+    Vectorized level-by-level downward recursion in the auxiliary index n:
+    every level is ONE gather+multiply-add over the whole Hermite axis
+    (compile-time O(L) HLO ops instead of O(L * nhermite) unrolled scalars,
+    and only two levels live at once). Entries whose order exceeds L - n at
+    level n are garbage-but-finite and provably never feed a valid entry.
     """
     T = p * jnp.sum(PC * PC, axis=-1)
     F = boys(L, T)  # (L+1,) + B
@@ -120,33 +161,20 @@ def r_table(L: int, p, PC):
         base.append(acc * F[n])
         acc = acc * m2p
 
-    # build level-by-level downward in the auxiliary index n so only two
-    # levels are ever live (bounds peak memory; the naive memoized DAG keeps
-    # O(L) levels alive and OOMs on TPU for large quartet chunks)
-    X, Y, Z = PC[..., 0], PC[..., 1], PC[..., 2]
-    prev: dict[tuple[int, int, int], jnp.ndarray] = {}
-    for n in range(L, -1, -1):
-        cur: dict[tuple[int, int, int], jnp.ndarray] = {(0, 0, 0): base[n]}
-        for order in range(1, L - n + 1):
-            for t in range(order + 1):
-                for u in range(order + 1 - t):
-                    v = order - t - u
-                    if t >= 1:
-                        out = X * prev[(t - 1, u, v)]
-                        if t >= 2:
-                            out = out + (t - 1) * prev[(t - 2, u, v)]
-                    elif u >= 1:
-                        out = Y * prev[(t, u - 1, v)]
-                        if u >= 2:
-                            out = out + (u - 1) * prev[(t, u - 2, v)]
-                    else:
-                        out = Z * prev[(t, u, v - 1)]
-                        if v >= 2:
-                            out = out + (v - 1) * prev[(t, u, v - 2)]
-                    cur[(t, u, v)] = out
-        prev = cur
+    onehot, idx1, idx2, coef = _r_plan(L)
+    H = len(hermite_components(L))
+    # PC component per Hermite entry: (B, H)
+    PCs = jnp.einsum("...d,sd->...s", PC, jnp.asarray(onehot))
+    coef = jnp.asarray(coef)
+    idx1 = jnp.asarray(idx1)
+    idx2 = jnp.asarray(idx2)
 
-    return jnp.stack([prev[tuv] for tuv in hermite_components(L)], axis=-1)
+    bshape = jnp.broadcast_shapes(jnp.shape(p), PC.shape[:-1])
+    R = jnp.zeros(bshape + (H,), dtype=PC.dtype).at[..., 0].set(base[L])
+    for n in range(L - 1, -1, -1):
+        R = PCs * R[..., idx1] + coef * R[..., idx2]
+        R = R.at[..., 0].set(base[n])
+    return R
 
 
 @lru_cache(maxsize=None)

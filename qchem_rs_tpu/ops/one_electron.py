@@ -104,7 +104,7 @@ def _nuclear_class(la: int, lb: int, a, b, cc, A, B, AB, charges, positions):
 
 
 def _assemble(system: MolecularSystem, class_fn, positions) -> jnp.ndarray:
-    nao = system.n_basis()
+    nao = system.n_basis_cart()
     out = jnp.zeros((nao, nao), dtype=jnp.float64)
     classes = system.shell_classes
     for la, ca in classes.items():
@@ -115,7 +115,11 @@ def _assemble(system: MolecularSystem, class_fn, positions) -> jnp.ndarray:
             cols = (cb.ao_offsets[ib][:, None, None] + np.arange(ncart(lb))[None, None, :])
             out = out.at[rows, cols].set(block)
     norms = jnp.asarray(system.ao_norms)
-    return out * norms[:, None] * norms[None, :]
+    out = out * norms[:, None] * norms[None, :]
+    if system.spherical:
+        T = jnp.asarray(system.sph_T)
+        out = T.T @ out @ T
+    return out
 
 
 def _positions(system, positions):

@@ -47,6 +47,7 @@ class ShardedFockBuilder:
             positions=positions,
             chunk_quartets=chunk_quartets,
         )
+        self.system = system
         self.nao = base.nao
         self._blocks = base._scan_blocks  # (g1, g2, shape4, xs)
         self._xs = [xs for (_, _, _, xs) in self._blocks]
@@ -86,4 +87,8 @@ class ShardedFockBuilder:
         self._xs = jax.device_put(self._xs, shardings)
 
     def jk(self, D):
+        if self.system.spherical:
+            T = jnp.asarray(self.system.sph_T)
+            J, K = self._jk(T @ D @ T.T, self._xs)
+            return T.T @ J @ T, T.T @ K @ T
         return self._jk(D, self._xs)

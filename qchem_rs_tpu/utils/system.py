@@ -93,11 +93,16 @@ def _normalize_coefficients(alpha: np.ndarray, coef: np.ndarray, l: int) -> np.n
 
 
 class MolecularSystem:
-    """Atoms + basis expanded into shells and shell classes."""
+    """Atoms + basis expanded into shells and shell classes.
 
-    def __init__(self, atoms: list[Atom], basis: BasisSet):
+    ``spherical=True`` projects all integrals onto real solid harmonics
+    (5d/7f) — see ops/spherical.py; the default is Cartesian (6d/10f).
+    """
+
+    def __init__(self, atoms: list[Atom], basis: BasisSet, spherical: bool = False):
         self.atoms = atoms
         self.basis = basis
+        self.spherical = spherical
 
         shells: list[Shell] = []
         ao = 0
@@ -159,10 +164,19 @@ class MolecularSystem:
         self.charges = np.array([a.ordinal for a in atoms], dtype=np.float64)
         self.positions = np.array([a.position for a in atoms], dtype=np.float64)
 
+        if spherical:
+            from qchem_rs_tpu.ops.spherical import system_transform
+
+            self.sph_T = system_transform(self)  # (nao_cart, nao_sph)
+            self._n_basis_sph = self.sph_T.shape[1]
+        else:
+            self.sph_T = None
+            self._n_basis_sph = None
+
     # --- constructors -----------------------------------------------------
 
     @classmethod
-    def load(cls, path: str | Path, basis: BasisSet) -> "MolecularSystem":
+    def load(cls, path: str | Path, basis: BasisSet, spherical: bool = False) -> "MolecularSystem":
         """Load a molecule JSON (reference format, positions in Bohr)."""
         with open(path) as f:
             data = json.load(f)
@@ -170,22 +184,27 @@ class MolecularSystem:
             Atom(int(rec["element"]), np.asarray(rec["position"], dtype=np.float64))
             for rec in data
         ]
-        return cls(atoms, basis)
+        return cls(atoms, basis, spherical=spherical)
 
     @classmethod
     def from_arrays(
-        cls, ordinals: np.ndarray, positions: np.ndarray, basis: BasisSet
+        cls, ordinals: np.ndarray, positions: np.ndarray, basis: BasisSet,
+        spherical: bool = False,
     ) -> "MolecularSystem":
         atoms = [
             Atom(int(z), np.asarray(p, dtype=np.float64))
             for z, p in zip(ordinals, positions)
         ]
-        return cls(atoms, basis)
+        return cls(atoms, basis, spherical=spherical)
 
     # --- reference API parity --------------------------------------------
 
     def n_basis(self) -> int:
-        """Number of (Cartesian) AO basis functions — molint's n_basis()."""
+        """Number of AO basis functions — molint's n_basis(). Spherical count
+        when the system was built with spherical=True, Cartesian otherwise."""
+        return self._n_basis_sph if self.spherical else self._n_basis
+
+    def n_basis_cart(self) -> int:
         return self._n_basis
 
     def n_electrons(self, charge: int = 0) -> int:
@@ -194,7 +213,7 @@ class MolecularSystem:
     def with_positions(self, positions: np.ndarray) -> "MolecularSystem":
         """Same atoms/basis at new geometry (for conformer sweeps)."""
         atoms = [Atom(a.ordinal, np.asarray(p, dtype=np.float64)) for a, p in zip(self.atoms, positions)]
-        return MolecularSystem(atoms, self.basis)
+        return MolecularSystem(atoms, self.basis, spherical=self.spherical)
 
     def nuclear_repulsion(self) -> float:
         """Classical point-charge repulsion; mirrors

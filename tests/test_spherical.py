@@ -1,0 +1,46 @@
+"""Spherical-harmonic (5d/7f) basis option."""
+
+import numpy as np
+
+from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem, restricted_hartree_fock
+from qchem_rs_tpu.ops.one_electron import overlap
+from qchem_rs_tpu.ops.spherical import cart_to_sph, nsph
+from qchem_rs_tpu.ops.angular import cart_components, double_factorial, ncart
+from tests.helpers import DATA_BASIS
+
+
+def test_transform_shapes_and_orthonormality():
+    for l in range(5):
+        T = cart_to_sph(l)
+        assert T.shape == (ncart(l), nsph(l) if l >= 2 else ncart(l))
+        # orthonormal in the normalized-cartesian metric:
+        # M_norm[a,b] = M[a,b]/sqrt(M_aa M_bb)
+        comps = cart_components(l)
+        M = np.zeros((len(comps), len(comps)))
+        for i, a in enumerate(comps):
+            for j, b in enumerate(comps):
+                if all((x + y) % 2 == 0 for x, y in zip(a, b)):
+                    M[i, j] = np.prod([double_factorial(x + y - 1) for x, y in zip(a, b)])
+        Mn = M / np.sqrt(np.outer(np.diag(M), np.diag(M)))
+        G = T.T @ Mn @ T
+        np.testing.assert_allclose(G, np.eye(T.shape[1]), atol=1e-12)
+
+
+def test_water_ccpvdz_spherical_vs_literature():
+    basis = BasisSet.load("/root/repo/data/basis/cc-pVDZ.json")
+    cart = MolecularSystem.load("/root/repo/data/mol/water.json", basis)
+    sph = MolecularSystem.load("/root/repo/data/mol/water.json", basis, spherical=True)
+    assert cart.n_basis() == 25  # 6d
+    assert sph.n_basis() == 24  # 5d
+    S = np.asarray(overlap(sph))
+    assert S.shape == (24, 24)
+    np.testing.assert_allclose(np.diag(S), 1.0, atol=1e-10)
+
+    cfg = HartreeFockConfig(epsilon=1e-9, max_iterations=200)
+    e_sph = restricted_hartree_fock(sph, cfg).total_energy()
+    e_cart = restricted_hartree_fock(cart, cfg).total_energy()
+    # literature RHF/cc-pVDZ (spherical) water ~ -76.0268 at this geometry
+    assert abs(e_sph - (-76.0268)) < 5e-3
+    # cartesian basis is strictly larger -> variationally lower energy
+    assert e_cart < e_sph
+    assert e_sph - e_cart < 2e-3
