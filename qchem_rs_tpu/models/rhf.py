@@ -153,6 +153,7 @@ def _rhf_driver(
         config.diis_window(4, 6),
         config.mixing_factor,
         config.verbose,
+        config.screening_threshold,
     )
     cache = _RHF_DRIVERS.setdefault(system, {})
     if key not in cache:
@@ -163,7 +164,9 @@ def _rhf_driver(
             T = one_electron.kinetic(system, positions)
             V = one_electron.nuclear(system, positions)
             H = T + V
-            E4 = eri_ops.eri(system, positions)
+            E4 = eri_ops.eri(
+                system, positions, screening_threshold=config.screening_threshold
+            )
             # (ij|kl) - 1/2 (ik|jl) as an (n^2, n^2) operator (rhf.rs:58-62)
             terms = E4 - 0.5 * jnp.transpose(E4, (0, 2, 1, 3))
             X = scf.lowdin_x(S)

@@ -173,6 +173,7 @@ def _uhf_driver(
         config.diis_window(2, 8),
         config.mixing_factor,
         config.verbose,
+        config.screening_threshold,
     )
     cache = _UHF_DRIVERS.setdefault(system, {})
     if key not in cache:
@@ -183,7 +184,9 @@ def _uhf_driver(
             T = one_electron.kinetic(system, positions)
             V = one_electron.nuclear(system, positions)
             H = T + V
-            E4 = eri_ops.eri(system, positions)
+            E4 = eri_ops.eri(
+                system, positions, screening_threshold=config.screening_threshold
+            )
             eri_mat = E4.reshape(n * n, n * n)
             k_mat = jnp.transpose(E4, (0, 2, 1, 3)).reshape(n * n, n * n)
             X = scf.lowdin_x(S)

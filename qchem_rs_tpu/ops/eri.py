@@ -223,21 +223,42 @@ def _scatter_quartets(nao: int, flat, vals, ii, jj, kk, ll, valid):
     return flat
 
 
-def eri(system: MolecularSystem, positions=None, chunk_budget: int = DEFAULT_CHUNK_BUDGET) -> jnp.ndarray:
+def eri(
+    system: MolecularSystem,
+    positions=None,
+    chunk_budget: int = DEFAULT_CHUNK_BUDGET,
+    screening_threshold: float = 0.0,
+) -> jnp.ndarray:
     """Full dense ERI tensor (nao, nao, nao, nao), chemists' (ij|kl).
 
     In-core path (reference parity: rhf.rs:45 materializes the full tensor
-    too). Unique shell quartets only; 8-fold scatter. For systems too large
-    to hold nao^4 in HBM use the integral-direct Fock build instead
-    (qchem_rs_tpu.ops.fock / parallel.fock_sharded).
+    too). Unique shell quartets only; 8-fold scatter. With
+    ``screening_threshold > 0`` shell quartets with Schwarz bound
+    q_P q_Q <= threshold are skipped (their tensor entries stay zero).
+    For systems too large to hold nao^4 in HBM use the integral-direct Fock
+    build instead (qchem_rs_tpu.ops.fock / parallel.fock_sharded).
     """
     nao = system.n_basis_cart()
     groups = build_pair_groups(system, positions)
+    schwarz = None
+    if screening_threshold > 0:
+        from qchem_rs_tpu.ops.fock import schwarz_bounds
+
+        # Schwarz bounds must be concrete host values (they gate which
+        # quartets exist at all). Under a trace (jitted drivers, conformer
+        # sweeps) evaluate them eagerly at the system's stored geometry —
+        # screening patterns are geometry-local and the threshold conservative
+        with jax.ensure_compile_time_eval():
+            concrete = build_pair_groups(system, None)
+            schwarz = schwarz_bounds(concrete)
     flat = jnp.zeros(nao**4 + 1, dtype=jnp.float64)
     for gi, g1 in enumerate(groups):
-        for g2 in groups[gi:]:
+        for g2i, g2 in enumerate(groups[gi:], start=gi):
             same = g2 is g1
             br, kt = _quartet_indices(g1, g2, same)
+            if schwarz is not None:
+                keep = schwarz[gi][br] * schwarz[g2i][kt] > screening_threshold
+                br, kt = br[keep], kt[keep]
             nq = len(br)
             if nq == 0:
                 continue
