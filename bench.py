@@ -49,6 +49,23 @@ def main():
             if not out.converged:
                 continue
             out2, warm = run_once(system, cfg)
+            gflops = None
+            try:
+                from qchem_rs_tpu.models.rhf import _rhf_driver
+
+                nocc = system.n_electrons(cfg.charge) // 2
+                driver = _rhf_driver(system, cfg, nocc)
+                import jax.numpy as jnp
+
+                cost = (
+                    driver.lower(jnp.asarray(system.positions))
+                    .compile()
+                    .cost_analysis()
+                )
+                flops = cost.get("flops", 0.0) if cost else 0.0
+                gflops = round(flops / warm / 1e9, 2) if flops else None
+            except Exception:
+                pass
             result = {
                 "metric": f"time_to_converged_scf_{tag}",
                 "value": round(warm, 3),
@@ -59,6 +76,7 @@ def main():
                 "iterations": out2.iterations,
                 "nao": system.n_basis(),
                 "run_s": round(out2.timings.get("total_s", warm), 3),
+                "gflops_per_s": gflops,
             }
             print(json.dumps(result))
             return 0

@@ -45,13 +45,26 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
         help="convergence metric (diag_rms matches the reference quirk)",
     )
     p.add_argument("--mixing", type=float, default=1.0, help="density mixing factor (1.0 = no damping)")
+    p.add_argument(
+        "--spherical",
+        action="store_true",
+        help="use real solid-harmonic (5d/7f) basis functions instead of Cartesian",
+    )
+    p.add_argument(
+        "--screening-threshold",
+        type=float,
+        default=1e-12,
+        help="Schwarz screening threshold for shell quartets (0 disables)",
+    )
 
 
 def _build(args):
     from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
 
     basis = BasisSet.load(args.basis_set)
-    system = MolecularSystem.load(args.molecule, basis)
+    system = MolecularSystem.load(
+        args.molecule, basis, spherical=getattr(args, "spherical", False)
+    )
     cfg = HartreeFockConfig(
         max_iterations=args.max_iterations,
         epsilon=args.epsilon,
@@ -60,6 +73,7 @@ def _build(args):
         convergence_metric=args.convergence,
         mixing_factor=args.mixing,
         verbose=args.verbose,
+        screening_threshold=getattr(args, "screening_threshold", 1e-12),
     )
     return system, cfg
 
