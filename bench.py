@@ -23,12 +23,28 @@ sys.path.insert(0, ROOT)
 REFERENCE_PROFILED_RUN_S = 14.3
 
 
-def run_once(system, cfg):
+class BenchTimeout(Exception):
+    pass
+
+
+def run_once(system, cfg, budget_s=None):
+    import signal
+
     from qchem_rs_tpu import restricted_hartree_fock
 
-    t0 = time.perf_counter()
-    out = restricted_hartree_fock(system, cfg)
-    elapsed = time.perf_counter() - t0
+    if budget_s:
+        def _raise(signum, frame):
+            raise BenchTimeout(f"exceeded {budget_s}s budget")
+
+        signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(int(budget_s))
+    try:
+        t0 = time.perf_counter()
+        out = restricted_hartree_fock(system, cfg)
+        elapsed = time.perf_counter() - t0
+    finally:
+        if budget_s:
+            signal.alarm(0)
     return out, elapsed
 
 
@@ -41,11 +57,14 @@ def main():
         ("water", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_water_ccpvdz"),
     ]
     cfg = HartreeFockConfig(epsilon=1e-8, max_iterations=100)
-    for mol, basis_path, tag in configs:
+    # hard per-config budget so one slow compile can't consume the bench
+    # window; first (headline) config gets the lion's share
+    budgets = [float(os.environ.get("QCHEM_BENCH_BUDGET", 2400)), 600.0, 300.0]
+    for (mol, basis_path, tag), budget in zip(configs, budgets):
         try:
             basis = BasisSet.load(basis_path)
             system = MolecularSystem.load(os.path.join(ROOT, "data", "mol", f"{mol}.json"), basis)
-            out, cold = run_once(system, cfg)
+            out, cold = run_once(system, cfg, budget_s=budget)
             if not out.converged:
                 continue
             out2, warm = run_once(system, cfg)

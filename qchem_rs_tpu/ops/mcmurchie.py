@@ -47,6 +47,14 @@ def nhermite(L: int) -> int:
     return (L + 1) * (L + 2) * (L + 3) // 6
 
 
+def _e_step(E, x, inv2p, tcoef):
+    """One E-coefficient ladder step, vectorized over the trailing t axis:
+    E'_t = E_{t-1}/(2p) + x E_t + (t+1) E_{t+1}."""
+    up = jnp.concatenate([jnp.zeros_like(E[..., :1]), E[..., :-1]], axis=-1)
+    down = jnp.concatenate([E[..., 1:] * tcoef, jnp.zeros_like(E[..., :1])], axis=-1)
+    return inv2p * up + x * E + down
+
+
 def e_cubes(imax: int, jmax: int, a, b, AB):
     """Hermite expansion coefficient cubes for all three dimensions.
 
@@ -56,50 +64,38 @@ def e_cubes(imax: int, jmax: int, a, b, AB):
     Returns a list of three arrays (x, y, z), each of shape
     ``B + (imax+1, jmax+1, imax+jmax+1)`` where entry [..., i, j, t] is
     E_t^{ij} for that dimension (zero for t > i + j).
+
+    The two-index ladder is vectorized over the Hermite t axis (and, for the
+    j ladder, the whole i axis): O(imax + jmax) fused ops per dimension
+    instead of O(imax * jmax * t) unrolled scalars — this is what keeps HLO
+    size and compile time bounded for high-angular-momentum classes.
     """
     p = a + b
     inv2p = 0.5 / p
     mu = a * b / p
+    tmax = imax + jmax
+    tcoef = jnp.arange(1, tmax + 1, dtype=jnp.float64)
     cubes = []
     for d in range(3):
         ab_d = AB[..., d]
         xpa = -(b / p) * ab_d  # P - A
         xpb = (a / p) * ab_d  # P - B
-        E: dict[tuple[int, int, int], jnp.ndarray] = {}
-        E[(0, 0, 0)] = jnp.exp(-mu * ab_d * ab_d)
-        zero = jnp.zeros_like(E[(0, 0, 0)])
-
-        def get(i, j, t):
-            if t < 0 or t > i + j:
-                return zero
-            return E[(i, j, t)]
-
-        for i in range(1, imax + 1):
-            for t in range(i + 1):
-                E[(i, 0, t)] = (
-                    inv2p * get(i - 1, 0, t - 1)
-                    + xpa * get(i - 1, 0, t)
-                    + (t + 1) * get(i - 1, 0, t + 1)
-                )
-        for j in range(1, jmax + 1):
-            for i in range(imax + 1):
-                for t in range(i + j + 1):
-                    E[(i, j, t)] = (
-                        inv2p * get(i, j - 1, t - 1)
-                        + xpb * get(i, j - 1, t)
-                        + (t + 1) * get(i, j - 1, t + 1)
-                    )
-        rows = []
-        for i in range(imax + 1):
-            cols = []
-            for j in range(jmax + 1):
-                cols.append(
-                    jnp.stack(
-                        [get(i, j, t) for t in range(imax + jmax + 1)], axis=-1
-                    )
-                )
-            rows.append(jnp.stack(cols, axis=-2))
-        cubes.append(jnp.stack(rows, axis=-3))
+        e00 = jnp.exp(-mu * ab_d * ab_d)
+        # i ladder at j = 0: rows[i] has shape B + (tmax+1,)
+        row = jnp.concatenate(
+            [e00[..., None], jnp.zeros(e00.shape + (tmax,), e00.dtype)], axis=-1
+        )
+        rows = [row]
+        for _ in range(imax):
+            row = _e_step(row, xpa[..., None], inv2p[..., None], tcoef)
+            rows.append(row)
+        cube = jnp.stack(rows, axis=-2)  # B + (imax+1, tmax+1)
+        # j ladder over the whole i axis at once
+        planes = [cube]
+        for _ in range(jmax):
+            cube = _e_step(cube, xpb[..., None, None], inv2p[..., None, None], tcoef)
+            planes.append(cube)
+        cubes.append(jnp.stack(planes, axis=-2))  # B + (imax+1, jmax+1, tmax+1)
     return cubes
 
 
