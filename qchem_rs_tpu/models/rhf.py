@@ -160,15 +160,18 @@ def _rhf_driver(
         n = system.n_basis()
 
         def full(positions, density_guess=None):
+            from qchem_rs_tpu.ops.fock import eri_terms
+
             S = one_electron.overlap(system, positions)
             T = one_electron.kinetic(system, positions)
             V = one_electron.nuclear(system, positions)
             H = T + V
-            E4 = eri_ops.eri(
+            # (ij|kl) - 1/2 (ik|jl) as an (n^2, n^2) operator (rhf.rs:58-62),
+            # assembled in ONE n^4 buffer (half the peak HBM of building the
+            # ERI tensor and transposing it)
+            terms = eri_terms(
                 system, positions, screening_threshold=config.screening_threshold
             )
-            # (ij|kl) - 1/2 (ik|jl) as an (n^2, n^2) operator (rhf.rs:58-62)
-            terms = E4 - 0.5 * jnp.transpose(E4, (0, 2, 1, 3))
             X = scf.lowdin_x(S)
             return _rhf_scf(
                 H,
