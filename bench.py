@@ -64,27 +64,28 @@ def main():
         try:
             basis = BasisSet.load(basis_path)
             system = MolecularSystem.load(os.path.join(ROOT, "data", "mol", f"{mol}.json"), basis)
-            out, cold = run_once(system, cfg, budget_s=budget)
+            import signal
+
+            from qchem_rs_tpu.models.rhf import precompile_rhf
+
+            # parallel compile of all programs counts toward the cold time
+            def _raise(signum, frame):
+                raise BenchTimeout("precompile budget")
+
+            signal.signal(signal.SIGALRM, _raise)
+            signal.alarm(int(budget))
+            t0 = time.perf_counter()
+            try:
+                precompile_rhf(system, cfg)
+            finally:
+                signal.alarm(0)
+            precompile_s = time.perf_counter() - t0
+            out, cold = run_once(system, cfg, budget_s=max(60, budget - precompile_s))
+            cold += precompile_s
             if not out.converged:
                 continue
             out2, warm = run_once(system, cfg)
             gflops = None
-            try:
-                from qchem_rs_tpu.models.rhf import _rhf_driver
-
-                nocc = system.n_electrons(cfg.charge) // 2
-                driver = _rhf_driver(system, cfg, nocc)
-                import jax.numpy as jnp
-
-                cost = (
-                    driver.lower(jnp.asarray(system.positions))
-                    .compile()
-                    .cost_analysis()
-                )
-                flops = cost.get("flops", 0.0) if cost else 0.0
-                gflops = round(flops / warm / 1e9, 2) if flops else None
-            except Exception:
-                pass
             result = {
                 "metric": f"time_to_converged_scf_{tag}",
                 "value": round(warm, 3),

@@ -131,13 +131,73 @@ def _rhf_scf(
     return jax.lax.while_loop(cond, body, init)
 
 
-# one compiled end-to-end program (integrals + SCF fixed point) per
-# (system, config-signature); keyed weakly on the system object. A single
-# XLA program matters a lot on TPU, where this backend's per-program compile
-# latency is high — the eager orchestration variant compiled 200+ programs.
+# Compilation strategy (see docs/DESIGN.md): for concrete geometries the
+# in-core path runs MODULAR programs (one per quartet class + one SCF), which
+# the axon remote compile service can build in parallel threads
+# (ops/incore.py). The single mega-program driver below remains for traceable
+# uses (vmapped conformer sweeps).
 from weakref import WeakKeyDictionary
 
 _RHF_DRIVERS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
+_RHF_TOOLS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
+
+
+def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
+    """Modular per-system programs: 1e integrals + terms assembler."""
+    from qchem_rs_tpu.ops.incore import TermsAssembler
+
+    key = (config.screening_threshold,)
+    cache = _RHF_TOOLS.setdefault(system, {})
+    if key not in cache:
+        ones = {
+            "S": jax.jit(lambda pos: one_electron.overlap(system, pos)),
+            "T": jax.jit(lambda pos: one_electron.kinetic(system, pos)),
+            "V": jax.jit(lambda pos: one_electron.nuclear(system, pos)),
+        }
+        assembler = TermsAssembler(system, config.screening_threshold)
+        cache[key] = (ones, assembler)
+    return cache[key]
+
+
+def precompile_rhf(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    max_workers: int = 12,
+) -> None:
+    """Compile every program an in-core RHF run needs, in parallel threads.
+
+    Amortizes the TPU backend's high per-program compile latency; with the
+    persistent compilation cache this also prewarms future processes.
+    """
+    from qchem_rs_tpu.ops.incore import precompile
+
+    config = config or HartreeFockConfig()
+    nocc = system.n_electrons(config.charge) // 2
+    ones, assembler = _incore_tools(system, config)
+    n = system.n_basis()
+    pos_spec = jax.ShapeDtypeStruct((len(system.atoms), 3), jnp.float64)
+    mat = jax.ShapeDtypeStruct((n, n), jnp.float64)
+    terms_spec = jax.ShapeDtypeStruct((n * n, n * n), jnp.float64)
+    programs = [(k, fn, (pos_spec,)) for k, fn in ones.items()]
+    programs += assembler.programs()
+    programs.append(
+        (
+            "scf",
+            _rhf_scf,
+            (
+                mat, mat, mat, nocc,
+                config.max_iterations, config.epsilon, config.convergence_metric,
+                config.diis_window(4, 6), config.mixing_factor, terms_spec,
+                None, config.verbose,
+            ),
+        )
+    )
+    compiled = precompile(programs, max_workers=max_workers)
+    assembler._compiled = {
+        k: v for k, v in compiled.items() if k.startswith("terms") or k == "finish"
+    }
+    assembler._compiled_ones = {k: compiled[k] for k in ("S", "T", "V")}
+    assembler._compiled_scf = compiled["scf"]
 
 
 def _rhf_driver(
@@ -299,8 +359,32 @@ def restricted_hartree_fock(
             lambda H, X, S: _rhf_scf_direct(H, X, S, nocc, config, builder._jk_impl)
         )(H, X, S)
     else:
-        driver = _rhf_driver(system, config, nocc, warm=warm)
-        st = driver(positions, jnp.asarray(density_guess)) if warm else driver(positions)
+        # modular in-core path: per-class programs + one SCF program
+        ones, assembler = _incore_tools(system, config)
+        cones = getattr(assembler, "_compiled_ones", ones)
+        t1 = time.perf_counter()
+        S = cones["S"](positions)
+        H = cones["T"](positions) + cones["V"](positions)
+        S.block_until_ready()
+        timings["one_electron_s"] = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        terms_mat = assembler.build()
+        terms_mat.block_until_ready()
+        timings["eri_s"] = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        X = scf.lowdin_x(S)
+        scf_args = (
+            H, X, S, nocc,
+            config.max_iterations, config.epsilon, config.convergence_metric,
+            config.diis_window(4, 6), config.mixing_factor, terms_mat,
+            jnp.asarray(density_guess) if warm else None, config.verbose,
+        )
+        cscf = getattr(assembler, "_compiled_scf", None)
+        if cscf is not None and not warm:
+            st = cscf(H, X, S, terms_mat, None)
+        else:
+            st = _rhf_scf(*scf_args)
+        timings["scf_s"] = time.perf_counter() - t1
     st.density.block_until_ready()
     timings["total_s"] = time.perf_counter() - t0
 
