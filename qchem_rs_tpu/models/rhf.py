@@ -162,7 +162,7 @@ def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
 def precompile_rhf(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
-    max_workers: int = 12,
+    max_workers: int = 4,
 ) -> None:
     """Compile every program an in-core RHF run needs, in parallel threads.
 

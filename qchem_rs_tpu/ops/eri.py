@@ -209,18 +209,22 @@ def _scatter_quartets(nao: int, flat, vals, ii, jj, kk, ll, valid):
         return jnp.where(valid, idx, dump).ravel()
 
     v = vals.ravel()
-    for (w, x, y, z) in (
-        (ii, jj, kk, ll),
-        (jj, ii, kk, ll),
-        (ii, jj, ll, kk),
-        (jj, ii, ll, kk),
-        (kk, ll, ii, jj),
-        (ll, kk, ii, jj),
-        (kk, ll, jj, ii),
-        (ll, kk, jj, ii),
-    ):
-        flat = flat.at[flat_idx(w, x, y, z)].set(v)
-    return flat
+    # one fused scatter for all 8 images (duplicate indices carry identical
+    # values, so .set semantics remain safe)
+    idxs = [
+        flat_idx(w, x, y, z)
+        for (w, x, y, z) in (
+            (ii, jj, kk, ll),
+            (jj, ii, kk, ll),
+            (ii, jj, ll, kk),
+            (jj, ii, ll, kk),
+            (kk, ll, ii, jj),
+            (ll, kk, ii, jj),
+            (kk, ll, jj, ii),
+            (ll, kk, jj, ii),
+        )
+    ]
+    return flat.at[jnp.concatenate(idxs)].set(jnp.concatenate([v] * 8))
 
 
 def eri(

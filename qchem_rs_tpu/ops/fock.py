@@ -146,7 +146,8 @@ def _jk_block(Lbra, Lket, shape4, args, D, J, K, nao):
     ii, jj, kk, ll = args["ii"], args["jj"], args["kk"], args["ll"]
 
     # all 8 symmetry images: (bra-slot pair, ket-slot pair) with value axes
-    # tracking which AO array fills which slot
+    # tracking which AO array fills which slot; fused into ONE scatter-add
+    # each for J and K (scatters dominate TPU compile time)
     images = (
         (ii, jj, kk, ll, "nabcd"),
         (jj, ii, kk, ll, "nbacd"),
@@ -157,16 +158,21 @@ def _jk_block(Lbra, Lket, shape4, args, D, J, K, nao):
         (kk, ll, jj, ii, "ncdba"),
         (ll, kk, jj, ii, "ndcba"),
     )
+    j_idx, j_val, k_idx, k_val = [], [], [], []
     for (w_, x_, y_, z_, order) in images:
         o1, o2, o3, o4 = order[1], order[2], order[3], order[4]
         # J[w,x] += v * D[y,z]
         Dg = D[y_[:, :, None], z_[:, None, :]]  # (n, |y|, |z|)
         Jblk = jnp.einsum(f"nabcd,n{o3}{o4}->n{o1}{o2}", vals, Dg)
-        J = J.at[(w_[:, :, None] * nao + x_[:, None, :]).reshape(-1)].add(Jblk.reshape(-1))
+        j_idx.append((w_[:, :, None] * nao + x_[:, None, :]).reshape(-1))
+        j_val.append(Jblk.reshape(-1))
         # K[w,y] += v * D[x,z]
         Dg2 = D[x_[:, :, None], z_[:, None, :]]
         Kblk = jnp.einsum(f"nabcd,n{o2}{o4}->n{o1}{o3}", vals, Dg2)
-        K = K.at[(w_[:, :, None] * nao + y_[:, None, :]).reshape(-1)].add(Kblk.reshape(-1))
+        k_idx.append((w_[:, :, None] * nao + y_[:, None, :]).reshape(-1))
+        k_val.append(Kblk.reshape(-1))
+    J = J.at[jnp.concatenate(j_idx)].add(jnp.concatenate(j_val))
+    K = K.at[jnp.concatenate(k_idx)].add(jnp.concatenate(k_val))
     return J, K
 
 
@@ -222,16 +228,18 @@ def eri_terms(
             kk = b_(args["kk"][:, None, None, :, None])
             ll = b_(args["ll"][:, None, None, None, :])
             v = vals.ravel()
-            images = (
+            # fused single scatter-add over all 16 symmetry images
+            # (8 Coulomb +v at [a,b,c,d]; 8 exchange -v/2 at [a,c,b,d])
+            idxs, vs = [], []
+            for (a_, b2, c_, d_) in (
                 (ii, jj, kk, ll), (jj, ii, kk, ll), (ii, jj, ll, kk), (jj, ii, ll, kk),
                 (kk, ll, ii, jj), (ll, kk, ii, jj), (kk, ll, jj, ii), (ll, kk, jj, ii),
-            )
-            for (a_, b2, c_, d_) in images:
-                idx = ((a_ * nao + b2) * nao + c_) * nao + d_
-                carry = carry.at[idx].add(v)
-                # exchange image: terms[a, c, b, d] -= v/2
-                idx_x = ((a_ * nao + c_) * nao + b2) * nao + d_
-                carry = carry.at[idx_x].add(-0.5 * v)
+            ):
+                idxs.append(((a_ * nao + b2) * nao + c_) * nao + d_)
+                vs.append(v)
+                idxs.append(((a_ * nao + c_) * nao + b2) * nao + d_)
+                vs.append(-0.5 * v)
+            carry = carry.at[jnp.concatenate(idxs)].add(jnp.concatenate(vs))
             return carry, None
 
         flat, _ = jax.lax.scan(body, flat, xs)

@@ -74,12 +74,19 @@ class TermsAssembler:
                     kk = b_(args["kk"][:, None, None, :, None])
                     ll = b_(args["ll"][:, None, None, None, :])
                     v = vals.ravel()
+                    # one fused scatter-add: concatenate all 16 symmetry
+                    # images (8 Coulomb +v, 8 exchange -v/2) — scatters are
+                    # the most compile-expensive ops on this backend
+                    idxs, vs = [], []
                     for (a_, b2, c_, d_) in (
                         (ii, jj, kk, ll), (jj, ii, kk, ll), (ii, jj, ll, kk), (jj, ii, ll, kk),
                         (kk, ll, ii, jj), (ll, kk, ii, jj), (kk, ll, jj, ii), (ll, kk, jj, ii),
                     ):
-                        carry = carry.at[((a_ * nao + b2) * nao + c_) * nao + d_].add(v)
-                        carry = carry.at[((a_ * nao + c_) * nao + b2) * nao + d_].add(-0.5 * v)
+                        idxs.append(((a_ * nao + b2) * nao + c_) * nao + d_)
+                        vs.append(v)
+                        idxs.append(((a_ * nao + c_) * nao + b2) * nao + d_)
+                        vs.append(-0.5 * v)
+                    carry = carry.at[jnp.concatenate(idxs)].add(jnp.concatenate(vs))
                     return carry, None
 
                 flat, _ = jax.lax.scan(body, flat, xs)
@@ -126,13 +133,27 @@ class TermsAssembler:
         return compiled.get("finish", self._finish)(flat)
 
 
-def precompile(programs, max_workers: int = 12) -> dict:
+def precompile(programs, max_workers: int = 4) -> dict:
     """Lower+compile jitted programs concurrently (the remote TPU compile
-    service parallelizes across requests). Returns {name: Compiled}."""
+    service parallelizes across requests, but too many concurrent requests
+    can crash its helper — keep the pool modest and retry failures
+    serially). Returns {name: Compiled}."""
 
     def _one(item):
         name, fn, args = item
         return name, fn.lower(*args).compile()
 
+    results: dict = {}
+    failed = []
     with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-        return dict(ex.map(_one, programs))
+        futs = {ex.submit(_one, it): it for it in programs}
+        for fut in cf.as_completed(futs):
+            try:
+                name, compiled = fut.result()
+                results[name] = compiled
+            except Exception:
+                failed.append(futs[fut])
+    for it in failed:  # serial retry
+        name, compiled = _one(it)
+        results[name] = compiled
+    return results
