@@ -53,6 +53,10 @@ class HartreeFockConfig:
     #: per-iteration SCF logging from inside the jitted loop
     #: (jax.debug.print analogue of the reference's log::info!, rhf.rs:90-92)
     verbose: bool = False
+    #: level shift sigma (Hartree) added to the virtual-virtual block of the
+    #: orthogonal-basis Fock matrix; 0 disables. Stabilizes oscillatory SCF
+    #: cases the reference simply fails on (rhf.rs:107 returns None).
+    level_shift: float = 0.0
 
     def diis_window(self, default_min: int, default_max: int) -> tuple[int, int]:
         return (

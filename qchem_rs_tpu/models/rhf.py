@@ -61,7 +61,7 @@ class _ScfState(NamedTuple):
     coefficients: jax.Array
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 11))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 11, 12))
 def _rhf_scf(
     H: jax.Array,
     X: jax.Array,
@@ -75,6 +75,7 @@ def _rhf_scf(
     terms_mat: jax.Array,  # (n^2, n^2): (ij|kl) - 1/2 (ik|jl)
     density_guess: Optional[jax.Array] = None,  # warm start (checkpoint/sweep)
     verbose: bool = False,
+    level_shift: float = 0.0,
 ) -> _ScfState:
     n = H.shape[0]
     diis_min, diis_max = diis_window
@@ -90,7 +91,17 @@ def _rhf_scf(
         F = H + G
         err = F @ D @ S - S @ D @ F  # rhf.rs:71
         F, diis = diis_apply(st.diis, err, F, diis_min)
-        C, w = scf.solve_fock(F, X)
+        if level_shift != 0.0:
+            # shift the virtual space in the orthogonal basis:
+            # P' = X^T S (D/2) S X is the occupied projector there
+            Fp = X.T @ F @ X
+            SX = S @ X
+            Pp = SX.T @ (0.5 * D) @ SX
+            Fp = Fp + level_shift * (jnp.eye(n) - Pp)
+            w, Cp = jnp.linalg.eigh(Fp)
+            C = X @ Cp
+        else:
+            C, w = scf.solve_fock(F, X)
         D_new = scf.density_from_coeffs(C, nocc, scale=2.0)
         d_change = D_new - D
         D = D + mixing * d_change  # rhf.rs:78-82 (F = 1.0 default)
@@ -162,7 +173,7 @@ def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
 def precompile_rhf(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
-    max_workers: int = 4,
+    max_workers: int | None = None,
 ) -> None:
     """Compile every program an in-core RHF run needs, in parallel threads.
 
@@ -188,7 +199,7 @@ def precompile_rhf(
                 mat, mat, mat, nocc,
                 config.max_iterations, config.epsilon, config.convergence_metric,
                 config.diis_window(4, 6), config.mixing_factor, terms_spec,
-                None, config.verbose,
+                None, config.verbose, config.level_shift,
             ),
         )
     )
@@ -196,8 +207,10 @@ def precompile_rhf(
     assembler._compiled = {
         k: v for k, v in compiled.items() if k.startswith("terms") or k == "finish"
     }
-    assembler._compiled_ones = {k: compiled[k] for k in ("S", "T", "V")}
-    assembler._compiled_scf = compiled["scf"]
+    assembler._compiled_ones = {
+        k: compiled.get(k, ones[k]) for k in ("S", "T", "V")
+    }
+    assembler._compiled_scf = compiled.get("scf")
 
 
 def _rhf_driver(
@@ -246,6 +259,7 @@ def _rhf_driver(
                 terms.reshape(n * n, n * n),
                 density_guess,
                 config.verbose,
+                config.level_shift,
             )
 
         cache[key] = jax.jit(full) if warm else jax.jit(lambda p: full(p))
@@ -378,6 +392,7 @@ def restricted_hartree_fock(
             config.max_iterations, config.epsilon, config.convergence_metric,
             config.diis_window(4, 6), config.mixing_factor, terms_mat,
             jnp.asarray(density_guess) if warm else None, config.verbose,
+            config.level_shift,
         )
         cscf = getattr(assembler, "_compiled_scf", None)
         if cscf is not None and not warm:

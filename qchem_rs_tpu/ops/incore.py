@@ -133,11 +133,22 @@ class TermsAssembler:
         return compiled.get("finish", self._finish)(flat)
 
 
-def precompile(programs, max_workers: int = 4) -> dict:
-    """Lower+compile jitted programs concurrently (the remote TPU compile
-    service parallelizes across requests, but too many concurrent requests
-    can crash its helper — keep the pool modest and retry failures
-    serially). Returns {name: Compiled}."""
+def precompile(programs, max_workers: int | None = None) -> dict:
+    """Lower+compile jitted programs; returns {name: Compiled}.
+
+    Default is SERIAL: the axon remote compile service handles concurrent
+    requests, but its helper subprocesses can lose their TPU environment
+    under concurrency and then fail stickily with bogus hostname/OOM errors
+    — and with the fused-scatter modular programs each compile is only a few
+    seconds anyway. Set QCHEM_COMPILE_WORKERS>1 (or max_workers) to opt into
+    parallel compilation. Failures retry with backoff; a program that still
+    fails is skipped (the call path compiles it on demand).
+    """
+    import os
+    import time
+
+    if max_workers is None:
+        max_workers = int(os.environ.get("QCHEM_COMPILE_WORKERS", "1"))
 
     def _one(item):
         name, fn, args = item
@@ -145,15 +156,30 @@ def precompile(programs, max_workers: int = 4) -> dict:
 
     results: dict = {}
     failed = []
-    with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-        futs = {ex.submit(_one, it): it for it in programs}
-        for fut in cf.as_completed(futs):
+    if max_workers <= 1:
+        for it in programs:
             try:
-                name, compiled = fut.result()
+                name, compiled = _one(it)
                 results[name] = compiled
             except Exception:
-                failed.append(futs[fut])
-    for it in failed:  # serial retry
-        name, compiled = _one(it)
-        results[name] = compiled
+                failed.append(it)
+    else:
+        with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+            futs = {ex.submit(_one, it): it for it in programs}
+            for fut in cf.as_completed(futs):
+                try:
+                    name, compiled = fut.result()
+                    results[name] = compiled
+                except Exception:
+                    failed.append(futs[fut])
+    for it in failed:  # serial retries with backoff
+        for attempt in range(3):
+            try:
+                name, compiled = _one(it)
+                results[name] = compiled
+                break
+            except Exception:
+                if attempt == 2:
+                    break
+                time.sleep(5.0 * (attempt + 1))
     return results
