@@ -164,6 +164,9 @@ def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
             "S": jax.jit(lambda pos: one_electron.overlap(system, pos)),
             "T": jax.jit(lambda pos: one_electron.kinetic(system, pos)),
             "V": jax.jit(lambda pos: one_electron.nuclear(system, pos)),
+            # H = T + V and the Löwdin transform as one program so the run
+            # path triggers no fresh compiles after precompile
+            "prep": jax.jit(lambda S, T, V: (T + V, scf.lowdin_x(S))),
         }
         assembler = TermsAssembler(system, config.screening_threshold)
         cache[key] = (ones, assembler)
@@ -189,7 +192,8 @@ def precompile_rhf(
     pos_spec = jax.ShapeDtypeStruct((len(system.atoms), 3), jnp.float64)
     mat = jax.ShapeDtypeStruct((n, n), jnp.float64)
     terms_spec = jax.ShapeDtypeStruct((n * n, n * n), jnp.float64)
-    programs = [(k, fn, (pos_spec,)) for k, fn in ones.items()]
+    programs = [(k, fn, (pos_spec,)) for k, fn in ones.items() if k != "prep"]
+    programs.append(("prep", ones["prep"], (mat, mat, mat)))
     programs += assembler.programs()
     programs.append(
         (
@@ -208,7 +212,7 @@ def precompile_rhf(
         k: v for k, v in compiled.items() if k.startswith("terms") or k == "finish"
     }
     assembler._compiled_ones = {
-        k: compiled.get(k, ones[k]) for k in ("S", "T", "V")
+        k: compiled.get(k, ones[k]) for k in ("S", "T", "V", "prep")
     }
     assembler._compiled_scf = compiled.get("scf")
 
@@ -378,7 +382,9 @@ def restricted_hartree_fock(
         cones = getattr(assembler, "_compiled_ones", ones)
         t1 = time.perf_counter()
         S = cones["S"](positions)
-        H = cones["T"](positions) + cones["V"](positions)
+        T_ = cones["T"](positions)
+        V_ = cones["V"](positions)
+        H, X = cones["prep"](S, T_, V_)
         S.block_until_ready()
         timings["one_electron_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
@@ -386,7 +392,6 @@ def restricted_hartree_fock(
         terms_mat.block_until_ready()
         timings["eri_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
-        X = scf.lowdin_x(S)
         scf_args = (
             H, X, S, nocc,
             config.max_iterations, config.epsilon, config.convergence_metric,
