@@ -33,7 +33,7 @@ from qchem_rs_tpu.ops.mcmurchie import (
     hermite_expansion_dense,
     hermite_index,
     nhermite,
-    r_table,
+    r_table_leading,
 )
 from qchem_rs_tpu.utils.system import MolecularSystem
 
@@ -70,7 +70,14 @@ class PairGroup:
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _pair_hermite(la, lb, a, b, cc, A, B, AB):
-    """E (n, Ka*Kb, ncompAB, S), p (n, Ka*Kb), P (n, Ka*Kb, 3)."""
+    """Hermite charge distribution per shell pair.
+
+    Returns E (n, ncompAB, Ka*Kb*S), p (n, Ka*Kb), P (n, Ka*Kb, 3).
+    The primitive-pair and Hermite axes are FUSED as the minor axis so the
+    quartet contraction is a clean batched matmul with a large inner
+    dimension (TPU layout: small trailing dims of f64-emulated tensors pad
+    catastrophically).
+    """
     p = a + b  # (n, Ka, Kb)
     P = (a[..., None] * A[:, None, None, :] + b[..., None] * B[:, None, None, :]) / p[..., None]
     E = hermite_expansion_dense(la, lb, a, b, AB)  # (n, Ka, Kb, Acomp, S)
@@ -78,8 +85,12 @@ def _pair_hermite(la, lb, a, b, cc, A, B, AB):
     norms = np.kron(component_norms(la), component_norms(lb))
     E = E * jnp.asarray(norms)[None, None, None, :, None]
     n, Ka, Kb = p.shape
+    ncomp, S = E.shape[3], E.shape[4]
+    E = jnp.transpose(E.reshape(n, Ka * Kb, ncomp, S), (0, 2, 1, 3)).reshape(
+        n, ncomp, Ka * Kb * S
+    )
     return (
-        E.reshape(n, Ka * Kb, E.shape[3], E.shape[4]),
+        E,
         p.reshape(n, Ka * Kb),
         P.reshape(n, Ka * Kb, 3),
     )
@@ -143,23 +154,55 @@ def _r2_gather(Lbra: int, Lket: int) -> tuple[np.ndarray, np.ndarray]:
     return idx, sign
 
 
+@lru_cache(maxsize=None)
+def _r2m_plan(Lbra: int, Lket: int, a: int, c: int):
+    """Static plan mapping the leading-axis R table (H, n, a*c) onto the
+    fused quartet contraction matrix R2m[(a,s1), (c,s2), n]:
+
+        h_arr[k, m]  = hermite_index(s1 + s2)
+        ac_arr[k, m] = a_i * c + c_j
+        sign[m]      = (-1)^{|s2|}
+    """
+    S1 = nhermite(Lbra)
+    S2 = nhermite(Lket)
+    idx, sign = _r2_gather(Lbra, Lket)
+    ai = np.arange(a)[:, None, None, None]
+    cj = np.arange(c)[None, None, :, None]
+    h_arr = np.broadcast_to(idx[None, :, None, :], (a, S1, c, S2))
+    ac_arr = np.broadcast_to((ai * c + cj), (a, S1, c, S2))
+    h_arr = np.ascontiguousarray(h_arr.reshape(a * S1, c * S2), dtype=np.int32)
+    ac_arr = np.ascontiguousarray(ac_arr.reshape(a * S1, c * S2), dtype=np.int32)
+    sign_m = np.tile(sign, c)  # (c*S2,)
+    return h_arr, ac_arr, sign_m
+
+
 def _eri_chunk_core(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
     """Contracted ERI block for one chunk of shell quartets (traceable core).
 
-    E1 (n,a,A,s1), p1 (n,a), P1 (n,a,3); E2 (n,c,C,s2), p2 (n,c), P2 (n,c,3).
-    Returns (n, A, C).
+    E1 (n, A, a*S1), p1 (n, a), P1 (n, a, 3); E2 (n, C, c*S2), p2 (n, c),
+    P2 (n, c, 3). Returns (n, A, C).
+
+    Structure: Boys/R recursion with the Hermite axis leading (large dims
+    minor), one static 2-axis gather into the fused contraction matrix
+    R2m[(a,s1), (c,s2), n], then two batched matmuls (MXU):
+        T1 = E1 . R2m        (contract a*S1)
+        out = T1 . E2^T      (contract c*S2)
     """
+    n, a = p1.shape
+    c = p2.shape[1]
     ps = p1[:, :, None] + p2[:, None, :]  # (n,a,c)
     alpha = p1[:, :, None] * p2[:, None, :] / ps
     PQ = P1[:, :, None, :] - P2[:, None, :, :]  # (n,a,c,3)
-    R = r_table(Lbra + Lket, alpha, PQ)  # (n,a,c,H)
     pref = 2.0 * jnp.pi**2.5 / (p1[:, :, None] * p2[:, None, :] * jnp.sqrt(ps))
-    R = R * pref[..., None]
-    idx, sign = _r2_gather(Lbra, Lket)
-    R2 = R[..., jnp.asarray(idx)] * jnp.asarray(sign)[None, None, None, None, :]
-    # (n,a,c,S1,S2) . (n,a,A,S1) -> (n,c,S2,A) -> with E2 (n,c,C,S2) -> (n,A,C)
-    T1 = jnp.einsum("naAs,nacst->nctA", E1, R2)
-    return jnp.einsum("nctA,ncCt->nAC", T1, E2)
+    L = Lbra + Lket
+    R = r_table_leading(L, alpha.reshape(n, a * c), PQ.reshape(n, a * c, 3))
+    R = R * pref.reshape(1, n, a * c)  # (H, n, ac)
+    h_arr, ac_arr, sign_m = _r2m_plan(Lbra, Lket, a, c)
+    # advanced indexing on axes 0 and 2 -> (aS1, cS2, n)
+    R2m = R[jnp.asarray(h_arr), :, jnp.asarray(ac_arr)]
+    R2m = R2m * jnp.asarray(sign_m)[None, :, None]
+    T1 = jnp.einsum("nAk,kmn->nAm", E1, R2m)
+    return jnp.einsum("nAm,nCm->nAC", T1, E2)
 
 
 _eri_chunk = partial(jax.jit, static_argnums=(0, 1))(_eri_chunk_core)
@@ -180,8 +223,8 @@ def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int) -> int:
     S1 = nhermite(g1.L)
     S2 = nhermite(g2.L)
     H = nhermite(g1.L + g2.L)
-    # R-table construction keeps ~two n-levels live plus the gathered R2
-    per_quartet = a * c * max(S1 * S2, 3 * H)
+    # dominant intermediates: R2m (a*S1, c*S2, n) x2 and the R levels (H, n, ac)
+    per_quartet = max(2 * a * S1 * c * S2, 3 * a * c * H)
     return int(np.clip(budget // per_quartet, 1, 1 << 12))
 
 

@@ -134,13 +134,15 @@ def _r_plan(L: int):
     return onehot, idx1, idx2, coef
 
 
-def r_table(L: int, p, PC):
+def r_table_leading(L: int, p, PC):
     """Hermite Coulomb integrals R_{tuv} = R^{(0)}_{tuv}(p, PC) for all
-    t+u+v <= L, stacked along the last axis in ``hermite_components(L)``
-    order.
+    t+u+v <= L, stacked along the LEADING axis in ``hermite_components(L)``
+    order: returns shape ``(nhermite(L),) + B``.
 
-    p: exponents, batch shape ``B``; PC: shape ``B + (3,)``.
-    Returns shape ``B + (nhermite(L),)``.
+    TPU layout note: the Hermite axis is small (<= a few hundred); keeping it
+    leading leaves the large batch dims minormost, which avoids the massive
+    tile-padding blowup of f64-emulated (bf16 x8) tensors whose last dims are
+    small (observed 20x memory inflation the other way).
 
     Vectorized level-by-level downward recursion in the auxiliary index n:
     every level is ONE gather+multiply-add over the whole Hermite axis
@@ -159,18 +161,24 @@ def r_table(L: int, p, PC):
 
     onehot, idx1, idx2, coef = _r_plan(L)
     H = len(hermite_components(L))
-    # PC component per Hermite entry: (B, H)
-    PCs = jnp.einsum("...d,sd->...s", PC, jnp.asarray(onehot))
-    coef = jnp.asarray(coef)
+    bshape = jnp.broadcast_shapes(jnp.shape(p), PC.shape[:-1])
+    # PC component per Hermite entry: (H,) + B
+    PCs = jnp.einsum("...d,sd->s...", jnp.broadcast_to(PC, bshape + (3,)), jnp.asarray(onehot))
+    extra = (1,) * len(bshape)
+    coef = jnp.asarray(coef).reshape((H,) + extra)
     idx1 = jnp.asarray(idx1)
     idx2 = jnp.asarray(idx2)
 
-    bshape = jnp.broadcast_shapes(jnp.shape(p), PC.shape[:-1])
-    R = jnp.zeros(bshape + (H,), dtype=PC.dtype).at[..., 0].set(base[L])
+    R = jnp.zeros((H,) + bshape, dtype=PCs.dtype).at[0].set(base[L])
     for n in range(L - 1, -1, -1):
-        R = PCs * R[..., idx1] + coef * R[..., idx2]
-        R = R.at[..., 0].set(base[n])
+        R = PCs * R[idx1] + coef * R[idx2]
+        R = R.at[0].set(base[n])
     return R
+
+
+def r_table(L: int, p, PC):
+    """Compatibility wrapper: Hermite axis LAST (shape ``B + (H,)``)."""
+    return jnp.moveaxis(r_table_leading(L, p, PC), 0, -1)
 
 
 @lru_cache(maxsize=None)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qchem_rs_tpu.ops.angular import cart_components, ncart
-from qchem_rs_tpu.ops.mcmurchie import e_cubes, hermite_expansion_dense, r_table
+from qchem_rs_tpu.ops.mcmurchie import e_cubes, hermite_expansion_dense, r_table_leading
 from qchem_rs_tpu.utils.system import MolecularSystem, ShellClass
 
 
@@ -93,12 +93,13 @@ def _nuclear_class(la: int, lb: int, a, b, cc, A, B, AB, charges, positions):
     P = (a[..., None] * A[:, None, None, :] + b[..., None] * B[:, None, None, :]) / p[..., None]
     L = la + lb
     E = hermite_expansion_dense(la, lb, a, b, AB)  # (n, Ka, Kb, A, S)
-    # batch atoms as a leading axis
+    # batch atoms as a leading axis; R stacked with the Hermite axis leading
+    # (see r_table_leading layout note)
     PC = P[None, ...] - positions[:, None, None, None, :]  # (nat, n, Ka, Kb, 3)
-    R = r_table(L, p[None, ...], PC)  # (nat, n, Ka, Kb, S)
-    RZ = jnp.einsum("c,cnabs->nabs", charges, R)
+    R = r_table_leading(L, p[None, ...], PC)  # (S, nat, n, Ka, Kb)
+    RZ = jnp.einsum("c,scnab->snab", charges, R)
     pref = (2.0 * jnp.pi / p) * cc
-    V = -jnp.einsum("nab,nabAs,nabs->nA", pref, E, RZ)
+    V = -jnp.einsum("nab,nabAs,snab->nA", pref, E, RZ)
     n = V.shape[0]
     return V.reshape(n, ncart(la), ncart(lb))
 
