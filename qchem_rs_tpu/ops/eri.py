@@ -33,7 +33,7 @@ from qchem_rs_tpu.ops.mcmurchie import (
     hermite_expansion_dense,
     hermite_index,
     nhermite,
-    r_table_leading,
+    r_table,
 )
 from qchem_rs_tpu.utils.system import MolecularSystem
 
@@ -195,13 +195,16 @@ def _eri_chunk_core(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
     PQ = P1[:, :, None, :] - P2[:, None, :, :]  # (n,a,c,3)
     pref = 2.0 * jnp.pi**2.5 / (p1[:, :, None] * p2[:, None, :] * jnp.sqrt(ps))
     L = Lbra + Lket
-    R = r_table_leading(L, alpha.reshape(n, a * c), PQ.reshape(n, a * c, 3))
-    R = R * pref.reshape(1, n, a * c)  # (H, n, ac)
+    H = nhermite(L)
+    R = r_table(L, alpha.reshape(n, a * c), PQ.reshape(n, a * c, 3))  # (n, ac, H)
+    R = R * pref.reshape(n, a * c, 1)
     h_arr, ac_arr, sign_m = _r2m_plan(Lbra, Lket, a, c)
-    # advanced indexing on axes 0 and 2 -> (aS1, cS2, n)
-    R2m = R[jnp.asarray(h_arr), :, jnp.asarray(ac_arr)]
-    R2m = R2m * jnp.asarray(sign_m)[None, :, None]
-    T1 = jnp.einsum("nAk,kmn->nAm", E1, R2m)
+    K, M = h_arr.shape
+    # single minor-axis gather into the fused contraction matrix
+    flat_idx = jnp.asarray((ac_arr.astype(np.int64) * H + h_arr).reshape(-1))
+    R2m = R.reshape(n, a * c * H)[:, flat_idx].reshape(n, K, M)
+    R2m = R2m * jnp.asarray(sign_m)[None, None, :]
+    T1 = jnp.einsum("nAk,nkm->nAm", E1, R2m)
     return jnp.einsum("nAm,nCm->nAC", T1, E2)
 
 

@@ -177,8 +177,35 @@ def r_table_leading(L: int, p, PC):
 
 
 def r_table(L: int, p, PC):
-    """Compatibility wrapper: Hermite axis LAST (shape ``B + (H,)``)."""
-    return jnp.moveaxis(r_table_leading(L, p, PC), 0, -1)
+    """Hermite Coulomb integrals with the Hermite axis LAST: ``B + (H,)``.
+
+    Same vectorized downward recursion as r_table_leading but with gathers on
+    the minor axis. Elementwise chains on small-minor-dim tensors fuse on TPU
+    without materializing their padded tile layout, so this variant is the
+    right input for the fused minor-axis R2m gather in the ERI chunk kernel
+    (and it compiles much faster there than leading-axis gathers for high-L
+    classes)."""
+    T = p * jnp.sum(PC * PC, axis=-1)
+    F = boys(L, T)  # (L+1,) + B
+    m2p = -2.0 * p
+    base = []
+    acc = jnp.ones_like(p)
+    for n in range(L + 1):
+        base.append(acc * F[n])
+        acc = acc * m2p
+
+    onehot, idx1, idx2, coef = _r_plan(L)
+    H = len(hermite_components(L))
+    PCs = jnp.einsum("...d,sd->...s", PC, jnp.asarray(onehot))  # B + (H,)
+    coef = jnp.asarray(coef)
+    idx1 = jnp.asarray(idx1)
+    idx2 = jnp.asarray(idx2)
+    bshape = jnp.broadcast_shapes(jnp.shape(p), PC.shape[:-1])
+    R = jnp.zeros(bshape + (H,), dtype=PCs.dtype).at[..., 0].set(base[L])
+    for n in range(L - 1, -1, -1):
+        R = PCs * R[..., idx1] + coef * R[..., idx2]
+        R = R.at[..., 0].set(base[n])
+    return R
 
 
 @lru_cache(maxsize=None)
