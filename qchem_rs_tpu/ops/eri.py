@@ -70,14 +70,7 @@ class PairGroup:
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _pair_hermite(la, lb, a, b, cc, A, B, AB):
-    """Hermite charge distribution per shell pair.
-
-    Returns E (n, ncompAB, Ka*Kb*S), p (n, Ka*Kb), P (n, Ka*Kb, 3).
-    The primitive-pair and Hermite axes are FUSED as the minor axis so the
-    quartet contraction is a clean batched matmul with a large inner
-    dimension (TPU layout: small trailing dims of f64-emulated tensors pad
-    catastrophically).
-    """
+    """E (n, Ka*Kb, ncompAB, S), p (n, Ka*Kb), P (n, Ka*Kb, 3)."""
     p = a + b  # (n, Ka, Kb)
     P = (a[..., None] * A[:, None, None, :] + b[..., None] * B[:, None, None, :]) / p[..., None]
     E = hermite_expansion_dense(la, lb, a, b, AB)  # (n, Ka, Kb, Acomp, S)
@@ -85,12 +78,8 @@ def _pair_hermite(la, lb, a, b, cc, A, B, AB):
     norms = np.kron(component_norms(la), component_norms(lb))
     E = E * jnp.asarray(norms)[None, None, None, :, None]
     n, Ka, Kb = p.shape
-    ncomp, S = E.shape[3], E.shape[4]
-    E = jnp.transpose(E.reshape(n, Ka * Kb, ncomp, S), (0, 2, 1, 3)).reshape(
-        n, ncomp, Ka * Kb * S
-    )
     return (
-        E,
+        E.reshape(n, Ka * Kb, E.shape[3], E.shape[4]),
         p.reshape(n, Ka * Kb),
         P.reshape(n, Ka * Kb, 3),
     )
@@ -179,33 +168,27 @@ def _r2m_plan(Lbra: int, Lket: int, a: int, c: int):
 def _eri_chunk_core(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
     """Contracted ERI block for one chunk of shell quartets (traceable core).
 
-    E1 (n, A, a*S1), p1 (n, a), P1 (n, a, 3); E2 (n, C, c*S2), p2 (n, c),
-    P2 (n, c, 3). Returns (n, A, C).
+    E1 (n,a,A,s1), p1 (n,a), P1 (n,a,3); E2 (n,c,C,s2), p2 (n,c), P2 (n,c,3).
+    Returns (n, A, C).
 
-    Structure: Boys/R recursion with the Hermite axis leading (large dims
-    minor), one static 2-axis gather into the fused contraction matrix
-    R2m[(a,s1), (c,s2), n], then two batched matmuls (MXU):
-        T1 = E1 . R2m        (contract a*S1)
-        out = T1 . E2^T      (contract c*S2)
+    NOTE (TPU): this formulation compiles fast on the axon backend (the
+    alternative fused-matmul forms compiled 10-25x slower per class). Its
+    Achilles heel is the dot operand materialization of the 5D R2 tensor
+    when XLA must transpose it — f64 emulates as bf16[8] and small trailing
+    dims pad to (16,128) tiles, inflating ~20x. _chunk_size caps the quartet
+    batch for exactly those classes (S1 > 1 with multiple ket primitives).
     """
-    n, a = p1.shape
-    c = p2.shape[1]
     ps = p1[:, :, None] + p2[:, None, :]  # (n,a,c)
     alpha = p1[:, :, None] * p2[:, None, :] / ps
     PQ = P1[:, :, None, :] - P2[:, None, :, :]  # (n,a,c,3)
+    R = r_table(Lbra + Lket, alpha, PQ)  # (n,a,c,H)
     pref = 2.0 * jnp.pi**2.5 / (p1[:, :, None] * p2[:, None, :] * jnp.sqrt(ps))
-    L = Lbra + Lket
-    H = nhermite(L)
-    R = r_table(L, alpha.reshape(n, a * c), PQ.reshape(n, a * c, 3))  # (n, ac, H)
-    R = R * pref.reshape(n, a * c, 1)
-    h_arr, ac_arr, sign_m = _r2m_plan(Lbra, Lket, a, c)
-    K, M = h_arr.shape
-    # single minor-axis gather into the fused contraction matrix
-    flat_idx = jnp.asarray((ac_arr.astype(np.int64) * H + h_arr).reshape(-1))
-    R2m = R.reshape(n, a * c * H)[:, flat_idx].reshape(n, K, M)
-    R2m = R2m * jnp.asarray(sign_m)[None, None, :]
-    T1 = jnp.einsum("nAk,nkm->nAm", E1, R2m)
-    return jnp.einsum("nAm,nCm->nAC", T1, E2)
+    R = R * pref[..., None]
+    idx, sign = _r2_gather(Lbra, Lket)
+    R2 = R[..., jnp.asarray(idx)] * jnp.asarray(sign)[None, None, None, None, :]
+    # (n,a,c,S1,S2) . (n,a,A,S1) -> (n,c,S2,A) -> with E2 (n,c,C,S2) -> (n,A,C)
+    T1 = jnp.einsum("naAs,nacst->nctA", E1, R2)
+    return jnp.einsum("nctA,ncCt->nAC", T1, E2)
 
 
 _eri_chunk = partial(jax.jit, static_argnums=(0, 1))(_eri_chunk_core)
@@ -220,15 +203,34 @@ def _quartet_indices(g1: PairGroup, g2: PairGroup, same: bool):
     return br, kt
 
 
-def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int) -> int:
+def _ceil(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+#: HBM budget for the dominant per-chunk intermediate (bytes)
+CHUNK_BYTES_BUDGET = 1 << 30
+
+
+def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int = 0) -> int:
+    """Quartet chunk size per class pair, capped so the dot-operand
+    materialization of R2 (n, a, c, S1, S2) fits the HBM budget.
+
+    On TPU, f64 is emulated as bf16 x8 (16 B/elem) and the trailing (S1, S2)
+    dims pad to (8/16, 128) tiles when XLA transposes R2 for the first
+    contraction — a ~20x inflation for small S. That transpose happens when
+    S1 > 1 (the contraction needs (a, S1) adjacent); otherwise the tensor
+    stays fused and only the logical footprint matters.
+    """
     a = g1.p.shape[1]
     c = g2.p.shape[1]
     S1 = nhermite(g1.L)
     S2 = nhermite(g2.L)
     H = nhermite(g1.L + g2.L)
-    # dominant intermediates: R2m (a*S1, c*S2, n) x2 and the R levels (H, n, ac)
-    per_quartet = max(2 * a * S1 * c * S2, 3 * a * c * H)
-    return int(np.clip(budget // per_quartet, 1, 1 << 12))
+    if S1 > 1 and c * S2 > 1:
+        per_quartet_bytes = a * c * _ceil(S1, 8) * _ceil(S2, 128) * 16
+    else:
+        per_quartet_bytes = a * c * max(S1 * S2, H) * 16
+    return int(np.clip(CHUNK_BYTES_BUDGET // per_quartet_bytes, 16, 1 << 12))
 
 
 def _scatter_quartets(nao: int, flat, vals, ii, jj, kk, ll, valid):

@@ -109,6 +109,25 @@ def screened_quartets(
     return blocks
 
 
+def block_chunks(blk: QuartetBlock, g1: PairGroup, g2: PairGroup, cap: int = 4096):
+    """Pad a block's quartet list into (nchunks, chunk) device arrays with a
+    class-specific chunk size (see eri._chunk_size)."""
+    from qchem_rs_tpu.ops.eri import _chunk_size
+
+    chunk = min(cap, _chunk_size(g1, g2))
+    n = blk.nq
+    nchunks = -(-n // chunk)
+    pad = nchunks * chunk - n
+    br = np.concatenate([blk.br[:n], np.zeros(pad, blk.br.dtype)])
+    kt = np.concatenate([blk.kt[:n], np.zeros(pad, blk.kt.dtype)])
+    w = np.concatenate([blk.weight[:n], np.zeros(pad)])
+    return (
+        jnp.asarray(br.astype(np.int32).reshape(nchunks, chunk)),
+        jnp.asarray(kt.astype(np.int32).reshape(nchunks, chunk)),
+        jnp.asarray(w.reshape(nchunks, chunk)),
+    )
+
+
 def _gather_block_args(g1: PairGroup, g2: PairGroup, br, kt, w):
     """Per-quartet device arrays for a chunk, gathered from group arrays.
 
@@ -198,19 +217,14 @@ def eri_terms(
         schwarz = schwarz_bounds(groups) if screening_threshold > 0 else None
     if positions is not None:
         groups = build_pair_groups(system, positions)
-    blocks = screened_quartets(groups, schwarz, screening_threshold, chunk_multiple=chunk_quartets)
+    blocks = screened_quartets(groups, schwarz, screening_threshold, chunk_multiple=1)
 
     flat = jnp.zeros(nao**4 + 1, dtype=jnp.float64)
     for blk in blocks:
         g1, g2 = groups[blk.g1], groups[blk.g2]
         ncA, ncB = ncart(g1.la), ncart(g1.lb)
         ncC, ncD = ncart(g2.la), ncart(g2.lb)
-        nchunks = len(blk.br) // chunk_quartets
-        xs = (
-            jnp.asarray(blk.br.astype(np.int32).reshape(nchunks, chunk_quartets)),
-            jnp.asarray(blk.kt.astype(np.int32).reshape(nchunks, chunk_quartets)),
-            jnp.asarray(blk.weight.reshape(nchunks, chunk_quartets)),
-        )
+        xs = block_chunks(blk, g1, g2, cap=chunk_quartets)
 
         def body(carry, x, g1=g1, g2=g2, ncA=ncA, ncB=ncB, ncC=ncC, ncD=ncD):
             br, kt, w = x
@@ -273,22 +287,19 @@ class DirectFockBuilder:
         self.groups = build_pair_groups(system, positions)
         self.schwarz = schwarz_bounds(self.groups)
         self.blocks = screened_quartets(
-            self.groups, self.schwarz, threshold, chunk_multiple=chunk_quartets
+            self.groups, self.schwarz, threshold, chunk_multiple=1
         )
         self.chunk_quartets = chunk_quartets
         # per block: static meta + (nchunks, chunk) index/weight arrays; the
         # per-quartet data is gathered inside the scan body so the whole J/K
-        # build is ONE compiled program with one HLO copy per quartet class
+        # build is ONE compiled program with one HLO copy per quartet class.
+        # Chunk sizes are class-specific (eri._chunk_size caps the padded
+        # footprint of the dot-operand materialization).
         self._scan_blocks = []
         for blk in self.blocks:
             g1, g2 = self.groups[blk.g1], self.groups[blk.g2]
             shape4 = (ncart(g1.la), ncart(g1.lb), ncart(g2.la), ncart(g2.lb))
-            nchunks = len(blk.br) // chunk_quartets
-            xs = (
-                jnp.asarray(blk.br.astype(np.int32).reshape(nchunks, chunk_quartets)),
-                jnp.asarray(blk.kt.astype(np.int32).reshape(nchunks, chunk_quartets)),
-                jnp.asarray(blk.weight.reshape(nchunks, chunk_quartets)),
-            )
+            xs = block_chunks(blk, g1, g2, cap=chunk_quartets)
             self._scan_blocks.append((g1, g2, shape4, xs))
         self._jk_jit = jax.jit(self._jk_impl)
 

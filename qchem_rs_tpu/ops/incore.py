@@ -23,7 +23,12 @@ import numpy as np
 
 from qchem_rs_tpu.ops.angular import ncart
 from qchem_rs_tpu.ops.eri import _eri_chunk_core, build_pair_groups
-from qchem_rs_tpu.ops.fock import _gather_block_args, schwarz_bounds, screened_quartets
+from qchem_rs_tpu.ops.fock import (
+    _gather_block_args,
+    block_chunks,
+    schwarz_bounds,
+    screened_quartets,
+)
 from qchem_rs_tpu.utils.system import MolecularSystem
 
 
@@ -43,19 +48,14 @@ class TermsAssembler:
         groups = build_pair_groups(system, None)
         schwarz = schwarz_bounds(groups) if screening_threshold > 0 else None
         blocks = screened_quartets(
-            groups, schwarz, screening_threshold, chunk_multiple=chunk_quartets
+            groups, schwarz, screening_threshold, chunk_multiple=1
         )
         self._tasks = []
         for blk in blocks:
             g1, g2 = groups[blk.g1], groups[blk.g2]
             ncA, ncB = ncart(g1.la), ncart(g1.lb)
             ncC, ncD = ncart(g2.la), ncart(g2.lb)
-            nchunks = len(blk.br) // chunk_quartets
-            xs = (
-                jnp.asarray(blk.br.astype(np.int32).reshape(nchunks, chunk_quartets)),
-                jnp.asarray(blk.kt.astype(np.int32).reshape(nchunks, chunk_quartets)),
-                jnp.asarray(blk.weight.reshape(nchunks, chunk_quartets)),
-            )
+            xs = block_chunks(blk, g1, g2, cap=chunk_quartets)
 
             def block_program(flat, xs, g1=g1, g2=g2, ncA=ncA, ncB=ncB, ncC=ncC, ncD=ncD):
                 def body(carry, x):

@@ -39,8 +39,6 @@ class ShardedFockBuilder:
         self.mesh = mesh
         self.axis = axis
         ndev = mesh.shape[axis]
-        # chunk length must split evenly across the mesh
-        chunk_quartets = max(ndev, (chunk_quartets // ndev) * ndev)
         base = DirectFockBuilder(
             system,
             threshold=threshold,
@@ -49,7 +47,23 @@ class ShardedFockBuilder:
         )
         self.system = system
         self.nao = base.nao
-        self._blocks = base._scan_blocks  # (g1, g2, shape4, xs)
+
+        def _pad_to_mesh(xs):
+            # each chunk's quartet axis must split evenly across the mesh;
+            # pad with index-0 / weight-0 entries
+            br, kt, w = xs
+            pad = (-br.shape[1]) % ndev
+            if pad == 0:
+                return xs
+            z = lambda x, fill: jnp.concatenate(
+                [x, jnp.full((x.shape[0], pad), fill, x.dtype)], axis=1
+            )
+            return (z(br, 0), z(kt, 0), z(w, 0.0))
+
+        self._blocks = [
+            (g1, g2, shape4, _pad_to_mesh(xs))
+            for (g1, g2, shape4, xs) in base._scan_blocks
+        ]
         self._xs = [xs for (_, _, _, xs) in self._blocks]
         nao = self.nao
 
