@@ -226,7 +226,7 @@ def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int = 0) -> int:
     S1 = nhermite(g1.L)
     S2 = nhermite(g2.L)
     H = nhermite(g1.L + g2.L)
-    if S1 > 1 and c * S2 > 1:
+    if S1 > 1 and S2 > 1:
         per_quartet_bytes = a * c * _ceil(S1, 8) * _ceil(S2, 128) * 16
     else:
         per_quartet_bytes = a * c * max(S1 * S2, H) * 16

@@ -108,29 +108,31 @@ class TermsAssembler:
 
         self._finish = jax.jit(finish, donate_argnums=(0,) if not system.spherical else ())
 
-    def programs(self):
-        """(name, jitted_fn, abstract_args) for parallel precompilation."""
-        flat_spec = jax.ShapeDtypeStruct((self.nao**4 + 1,), jnp.float64)
-        out = [
-            (f"terms{i}", fn, (flat_spec, jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), xs)))
-            for i, (fn, xs) in enumerate(self._tasks)
-        ]
-        out.append(("finish", self._finish, (flat_spec,)))
-        return out
+        # ONE program for the whole assembly: the carry buffer must stay
+        # device-resident — separate per-block programs round-trip the
+        # donated buffer through the axon tunnel on every call (measured
+        # ~1 s/block of pure transfer overhead)
+        def terms_all(_token):
+            flat = jnp.zeros(nao**4 + 1, dtype=jnp.float64) + _token
+            for fn, xs in self._tasks:
+                flat = fn(flat, xs)
+            return self._finish(flat)
 
-    def prewarm(self, max_workers: int = 12) -> None:
-        """Compile all block programs concurrently; build() then calls the
-        compiled executables directly."""
+        self._terms_all = jax.jit(terms_all)
+
+    def programs(self):
+        """(name, jitted_fn, abstract_args) for precompilation."""
+        return [("terms_all", self._terms_all, (jax.ShapeDtypeStruct((), jnp.float64),))]
+
+    def prewarm(self, max_workers: int | None = None) -> None:
+        """Compile the assembly program; build() then calls it directly."""
         self._compiled = precompile(self.programs(), max_workers=max_workers)
 
     def build(self) -> jax.Array:
-        """Run all block programs; returns the (n^2, n^2) terms operator."""
+        """Run the assembly; returns the (n^2, n^2) terms operator."""
         compiled = getattr(self, "_compiled", {})
-        flat = jnp.zeros(self.nao**4 + 1, dtype=jnp.float64)
-        for i, (fn, xs) in enumerate(self._tasks):
-            runner = compiled.get(f"terms{i}", fn)
-            flat = runner(flat, xs)
-        return compiled.get("finish", self._finish)(flat)
+        runner = compiled.get("terms_all", self._terms_all)
+        return runner(jnp.zeros((), jnp.float64))
 
 
 def precompile(programs, max_workers: int | None = None) -> dict:
