@@ -16,25 +16,28 @@ tests/test_boys.py). Max order needed: 4*l_max = 16 for (gg|gg) ERI classes.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _T_SWITCH = 35.0
-_SERIES_TERMS = 130
+_SERIES_TERMS = 170
+_DT = 0.05  # Taylor table spacing
+_NTAYLOR = 7  # Taylor order; err ~ (dT/2)^7/7! ~ 1e-15
 
 
-def boys(mmax: int, T: jax.Array) -> jax.Array:
-    """Boys functions F_0..F_mmax at T (elementwise).
-
-    Returns an array of shape ``(mmax + 1,) + T.shape``.
-    """
+def boys_series(mmax: int, T: jax.Array) -> jax.Array:
+    """Reference implementation: Kummer series + downward recursion (small T)
+    / asymptotic + upward recursion (large T). O(_SERIES_TERMS) sequential
+    ops — used to build the Taylor table and for validation."""
     T = jnp.asarray(T, dtype=jnp.float64)
     Tsafe_small = jnp.minimum(T, _T_SWITCH)  # keep series args bounded
     Tsafe_big = jnp.maximum(T, _T_SWITCH)  # keep 1/T, sqrt well-behaved
     expT = jnp.exp(-T)
 
-    # --- series at m = mmax (valid small T) ------------------------------
-    # t_0 = 1/(2m+1); t_{i+1} = t_i * 2T / (2m + 2i + 3); F_m = e^-T sum t_i
+    # series at m = mmax: t_0 = 1/(2m+1); t_{i+1} = t_i 2T/(2m+2i+3)
     def series_step(i, carry):
         term, acc = carry
         term = term * (2.0 * Tsafe_small) / (2.0 * mmax + 2.0 * i + 3.0)
@@ -44,17 +47,73 @@ def boys(mmax: int, T: jax.Array) -> jax.Array:
     _, ssum = jax.lax.fori_loop(0, _SERIES_TERMS, series_step, (t0, t0))
     f_mmax_small = expT * ssum
 
-    # downward recursion from mmax
     fs_small = [f_mmax_small]
     for m in range(mmax, 0, -1):
         fs_small.append((2.0 * Tsafe_small * fs_small[-1] + expT) / (2.0 * m - 1.0))
     fs_small = fs_small[::-1]  # F_0 .. F_mmax
 
-    # --- asymptotic at F_0 (valid large T), upward recursion -------------
     f0_big = 0.5 * jnp.sqrt(jnp.pi / Tsafe_big) * jax.lax.erf(jnp.sqrt(Tsafe_big))
     fs_big = [f0_big]
     for m in range(mmax):
         fs_big.append(((2.0 * m + 1.0) * fs_big[-1] - expT) / (2.0 * Tsafe_big))
+
+    use_small = T < _T_SWITCH
+    return jnp.stack(
+        [jnp.where(use_small, s, b) for s, b in zip(fs_small, fs_big)], axis=0
+    )
+
+
+@lru_cache(maxsize=None)
+def _taylor_table(mrows: int) -> np.ndarray:
+    """F_m(T_i) on the grid T_i = i * _DT, i = 0.._T_SWITCH/_DT, for
+    m = 0..mrows-1 — built once on host with the numpy series."""
+    grid = np.arange(int(round(_T_SWITCH / _DT)) + 1) * _DT
+    mtop = mrows - 1
+    # series at mtop (float64 host), then downward recursion
+    term = np.full_like(grid, 1.0 / (2 * mtop + 1))
+    acc = term.copy()
+    for i in range(300):
+        term = term * (2.0 * grid) / (2.0 * mtop + 2.0 * i + 3.0)
+        acc += term
+    out = np.empty((mrows, grid.size))
+    e = np.exp(-grid)
+    out[mtop] = e * acc
+    for m in range(mtop, 0, -1):
+        out[m - 1] = (2.0 * grid * out[m] + e) / (2.0 * m - 1.0)
+    return out
+
+
+def boys(mmax: int, T: jax.Array) -> jax.Array:
+    """Boys functions F_0..F_mmax at T (elementwise), shape (mmax+1,) + T.shape.
+
+    Fast path: tabulated Taylor expansion with spacing _DT and _NTAYLOR terms
+    (F'_m = -F_{m+1}, so the derivatives come from higher-m table rows):
+        F_m(T) = sum_k F_{m+k}(T_i) (T_i - T)^k / k!
+    ~10 fused ops instead of the ~400-op series loop — this was the dominant
+    runtime cost of the ERI kernels (like GSL was 14.3% of the reference's
+    profile, SURVEY.md §6). Large T uses the asymptotic + upward recursion.
+    """
+    T = jnp.asarray(T, dtype=jnp.float64)
+    table = jnp.asarray(_taylor_table(mmax + _NTAYLOR))
+    Tsmall = jnp.minimum(T, _T_SWITCH)
+    i = jnp.clip(jnp.round(Tsmall / _DT).astype(jnp.int32), 0, table.shape[1] - 1)
+    d = i * _DT - Tsmall  # (T_i - T)
+    # gather the needed rows once: g[j] = F_j(T_i)
+    g = table[:, i]  # (mmax + _NTAYLOR,) + T.shape
+    # Horner in d: F_m = g[m] + d (g[m+1] + d/2 (g[m+2] + d/3 (...)))
+    fs_small = []
+    for m in range(mmax + 1):
+        acc = g[m + _NTAYLOR - 1]
+        for k in range(_NTAYLOR - 1, 0, -1):
+            acc = g[m + k - 1] + d * acc / k
+        fs_small.append(acc)
+
+    expT = jnp.exp(-T)
+    Tbig = jnp.maximum(T, _T_SWITCH)
+    f0_big = 0.5 * jnp.sqrt(jnp.pi / Tbig)  # erf(sqrt(T)) == 1 to 7e-17 here
+    fs_big = [f0_big]
+    for m in range(mmax):
+        fs_big.append(((2.0 * m + 1.0) * fs_big[-1] - expT) / (2.0 * Tbig))
 
     use_small = T < _T_SWITCH
     return jnp.stack(

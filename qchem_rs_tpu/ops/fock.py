@@ -114,8 +114,9 @@ def block_chunks(blk: QuartetBlock, g1: PairGroup, g2: PairGroup, cap: int = 409
     class-specific chunk size (see eri._chunk_size)."""
     from qchem_rs_tpu.ops.eri import _chunk_size
 
-    chunk = min(cap, _chunk_size(g1, g2))
     n = blk.nq
+    # never pad a small class up to a huge chunk (wasted padded compute)
+    chunk = min(cap, _chunk_size(g1, g2), max(64, -(-n // 64) * 64))
     nchunks = -(-n // chunk)
     pad = nchunks * chunk - n
     br = np.concatenate([blk.br[:n], np.zeros(pad, blk.br.dtype)])
