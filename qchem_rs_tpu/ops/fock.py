@@ -115,8 +115,10 @@ def block_chunks(blk: QuartetBlock, g1: PairGroup, g2: PairGroup, cap: int = 409
     from qchem_rs_tpu.ops.eri import _chunk_size
 
     n = blk.nq
-    # never pad a small class up to a huge chunk (wasted padded compute)
-    chunk = min(cap, _chunk_size(g1, g2), max(64, -(-n // 64) * 64))
+    # never pad a small class up to a huge chunk (wasted padded compute);
+    # floor of 1024: chunks of 256 triggered TPU kernel faults on some
+    # classes (backend miscompile), 1024+ is reliable
+    chunk = min(cap, _chunk_size(g1, g2), max(1024, -(-n // 1024) * 1024))
     nchunks = -(-n // chunk)
     pad = nchunks * chunk - n
     br = np.concatenate([blk.br[:n], np.zeros(pad, blk.br.dtype)])
