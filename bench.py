@@ -61,6 +61,8 @@ def main():
     # window; first (headline) config gets the lion's share
     budgets = [float(os.environ.get("QCHEM_BENCH_BUDGET", 2400)), 600.0, 300.0]
     for (mol, basis_path, tag), budget in zip(configs, budgets):
+      # the remote compile helper crashes sporadically; one retry per config
+      for attempt in range(2):
         try:
             basis = BasisSet.load(basis_path)
             system = MolecularSystem.load(os.path.join(ROOT, "data", "mol", f"{mol}.json"), basis)
@@ -100,8 +102,11 @@ def main():
             }
             print(json.dumps(result))
             return 0
-        except Exception as e:  # noqa: BLE001 — fall through to smaller config
-            print(f"# bench config {tag} failed: {type(e).__name__}: {e}", file=sys.stderr)
+        except BenchTimeout as e:
+            print(f"# bench config {tag} timed out: {e}", file=sys.stderr)
+            break  # next (smaller) config — retrying won't fit the budget
+        except Exception as e:  # noqa: BLE001 — retry once (flaky compiles)
+            print(f"# bench config {tag} failed (attempt {attempt + 1}): {type(e).__name__}: {e}", file=sys.stderr)
     print(json.dumps({"metric": "time_to_converged_scf", "value": -1, "unit": "s", "vs_baseline": 0}))
     return 1
 

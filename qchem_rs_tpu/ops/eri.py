@@ -89,10 +89,13 @@ def build_pair_groups(system: MolecularSystem, positions=None) -> list[PairGroup
     """Unique shell pairs {i, j} grouped by unordered class pair (la >= lb).
 
     ``positions`` may be a traced (natom, 3) array for conformer sweeps.
+    All per-class Hermite charge distributions are produced by ONE jitted
+    program (minimizes the number of compiles exposed to the flaky remote
+    compile helper; each eager compile is a crash opportunity).
     """
     if positions is None:
         positions = jnp.asarray(system.positions)
-    groups: list[PairGroup] = []
+    metas = []
     classes = system.shell_classes
     ls = sorted(classes)
     for la in ls:
@@ -105,26 +108,36 @@ def build_pair_groups(system: MolecularSystem, positions=None) -> list[PairGroup
                 ii, jj = ii.ravel(), jj.ravel()
             if len(ii) == 0:
                 continue
+            metas.append((la, lb, ca, cb, ii, jj))
+
+    def all_pairs(positions):
+        out = []
+        for (la, lb, ca, cb, ii, jj) in metas:
             a = jnp.asarray(ca.alphas[ii])[:, :, None]
             b = jnp.asarray(cb.alphas[jj])[:, None, :]
             cc = jnp.asarray(ca.coefs[ii])[:, :, None] * jnp.asarray(cb.coefs[jj])[:, None, :]
             A = positions[ca.atom_indices[ii]]
             B = positions[cb.atom_indices[jj]]
             AB = (A - B)[:, None, None, :]
-            E, p, P = _pair_hermite(la, lb, a, b, cc, A, B, AB)
-            groups.append(
-                PairGroup(
-                    la=la,
-                    lb=lb,
-                    i_shell=ca.shell_indices[ii],
-                    j_shell=cb.shell_indices[jj],
-                    ao_i=ca.ao_offsets[ii],
-                    ao_j=cb.ao_offsets[jj],
-                    p=p,
-                    P=P,
-                    E=E,
-                )
+            out.append(_pair_hermite(la, lb, a, b, cc, A, B, AB))
+        return tuple(out)
+
+    tensors = jax.jit(all_pairs)(positions)
+    groups: list[PairGroup] = []
+    for (la, lb, ca, cb, ii, jj), (E, p, P) in zip(metas, tensors):
+        groups.append(
+            PairGroup(
+                la=la,
+                lb=lb,
+                i_shell=ca.shell_indices[ii],
+                j_shell=cb.shell_indices[jj],
+                ao_i=ca.ao_offsets[ii],
+                ao_j=cb.ao_offsets[jj],
+                p=p,
+                P=P,
+                E=E,
             )
+        )
     return groups
 
 

@@ -32,13 +32,19 @@ from qchem_rs_tpu.utils.system import MolecularSystem
 
 
 def schwarz_bounds(groups: list[PairGroup]) -> list[np.ndarray]:
-    """q_P = sqrt(max_component (P|P)) per pair, per group (host numpy)."""
-    out = []
-    for g in groups:
-        vals = _eri_chunk(g.L, g.L, g.E, g.p, g.P, g.E, g.p, g.P)  # (n, A, A)
-        diag = jnp.max(jnp.abs(jnp.diagonal(vals, axis1=1, axis2=2)), axis=1)
-        out.append(np.sqrt(np.asarray(diag)))
-    return out
+    """q_P = sqrt(max_component (P|P)) per pair, per group (host numpy).
+
+    One jitted program for all groups (fewer compiles exposed to the flaky
+    remote compile helper)."""
+
+    def all_bounds():
+        out = []
+        for g in groups:
+            vals = _eri_chunk_core(g.L, g.L, g.E, g.p, g.P, g.E, g.p, g.P)  # (n, A, A)
+            out.append(jnp.max(jnp.abs(jnp.diagonal(vals, axis1=1, axis2=2)), axis=1))
+        return tuple(out)
+
+    return [np.sqrt(np.asarray(q)) for q in jax.jit(all_bounds)()]
 
 
 @dataclasses.dataclass
