@@ -239,10 +239,12 @@ def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int = 0) -> int:
     S1 = nhermite(g1.L)
     S2 = nhermite(g2.L)
     H = nhermite(g1.L + g2.L)
+    L = g1.L + g2.L
+    boys_rows = L + 8  # gathered Taylor rows live simultaneously
     if S1 > 1 and S2 > 1:
-        per_quartet_bytes = a * c * _ceil(S1, 8) * _ceil(S2, 128) * 16
+        per_quartet_bytes = a * c * (_ceil(S1, 8) * _ceil(S2, 128) + boys_rows) * 16
     else:
-        per_quartet_bytes = a * c * max(S1 * S2, H) * 16
+        per_quartet_bytes = a * c * (max(S1 * S2, H) + boys_rows) * 16
     return int(np.clip(CHUNK_BYTES_BUDGET // per_quartet_bytes, 16, 1 << 12))
 
 
