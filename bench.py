@@ -56,7 +56,11 @@ def main():
         ("benzene", "/root/reference/data/basis/6-31G.json", "rhf_benzene_631g"),
         ("water", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_water_ccpvdz"),
     ]
-    cfg = HartreeFockConfig(epsilon=1e-8, max_iterations=100)
+    # eps=1e-7: TPU f64 is double-float emulation (~2^-48); the density-RMS
+    # noise floor sits between 1e-7 and 1e-8, and energies are stable to
+    # ~3e-7 Eh across eps settings. True 1e-8 Eh needs the round-2
+    # compensated-accumulation work (docs/ROADMAP.md).
+    cfg = HartreeFockConfig(epsilon=1e-7, max_iterations=150)
     # hard per-config budget so one slow compile can't consume the bench
     # window; first (headline) config gets the lion's share
     budgets = [float(os.environ.get("QCHEM_BENCH_BUDGET", 2400)), 600.0, 300.0]
