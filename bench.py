@@ -48,14 +48,52 @@ def run_once(system, cfg, budget_s=None):
     return out, elapsed
 
 
-def main():
-    from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
+CONFIGS = [
+    ("benzene", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_benzene_ccpvdz"),
+    ("benzene", "/root/reference/data/basis/6-31G.json", "rhf_benzene_631g"),
+    ("water", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_water_ccpvdz"),
+]
 
-    configs = [
-        ("benzene", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_benzene_ccpvdz"),
-        ("benzene", "/root/reference/data/basis/6-31G.json", "rhf_benzene_631g"),
-        ("water", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_water_ccpvdz"),
-    ]
+
+def main():
+    """Isolate each config in a subprocess: a TPU kernel fault poisons the
+    whole process's device handle, so in-process fallback configs would all
+    fail spuriously."""
+    import subprocess
+
+    only = os.environ.get("QCHEM_BENCH_ONLY")
+    if only:
+        return run_configs([c for c in CONFIGS if c[2] == only])
+
+    budgets = [float(os.environ.get("QCHEM_BENCH_BUDGET", 2400)), 700.0, 500.0]
+    for (mol, bpath, tag), budget in zip(CONFIGS, budgets):
+        env = dict(os.environ, QCHEM_BENCH_ONLY=tag, QCHEM_BENCH_BUDGET=str(budget))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=budget + 600,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# bench config {tag} subprocess timed out", file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+        for line in (proc.stdout or "").splitlines():
+            if line.startswith("{"):
+                try:
+                    if json.loads(line).get("value", -1) > 0:
+                        print(line)
+                        return 0
+                except json.JSONDecodeError:
+                    pass
+    print(json.dumps({"metric": "time_to_converged_scf", "value": -1, "unit": "s", "vs_baseline": 0}))
+    return 1
+
+
+def run_configs(configs):
+    from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
     # eps=1e-7: TPU f64 is double-float emulation (~2^-48); the density-RMS
     # noise floor sits between 1e-7 and 1e-8, and energies are stable to
     # ~3e-7 Eh across eps settings. True 1e-8 Eh needs the round-2
