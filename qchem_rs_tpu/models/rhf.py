@@ -208,7 +208,9 @@ def precompile_rhf(
         )
     )
     compiled = precompile(programs, max_workers=max_workers)
-    assembler._compiled = {k: v for k, v in compiled.items() if k.startswith("terms")}
+    assembler._compiled = {
+        k: v for k, v in compiled.items() if k.startswith("terms") or k == "finish"
+    }
     assembler._compiled_ones = {
         k: compiled.get(k, ones[k]) for k in ("S", "T", "V", "prep")
     }

@@ -121,11 +121,10 @@ def block_chunks(blk: QuartetBlock, g1: PairGroup, g2: PairGroup, cap: int = 409
     from qchem_rs_tpu.ops.eri import _chunk_size
 
     n = blk.nq
-    # never pad a small class up to a huge chunk (wasted padded compute).
-    # Chunk MUST be a multiple of 1024: non-multiples (256, 1278) triggered
-    # TPU kernel faults (backend miscompile); 1024-multiples are reliable.
-    chunk = min(cap, _chunk_size(g1, g2), max(1024, -(-n // 1024) * 1024))
-    chunk = max(1024, (chunk // 1024) * 1024)
+    # Chunk is EXACTLY 1024 quartets: other sizes (256, 1278, 2048) have
+    # triggered TPU kernel faults on this backend (miscompiles in the scan
+    # body). 1024 is empirically reliable and keeps intermediates bounded.
+    chunk = 1024
     nchunks = -(-n // chunk)
     pad = nchunks * chunk - n
     br = np.concatenate([blk.br[:n], np.zeros(pad, blk.br.dtype)])

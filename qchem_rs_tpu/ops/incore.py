@@ -50,12 +50,31 @@ class TermsAssembler:
         blocks = screened_quartets(
             groups, schwarz, screening_threshold, chunk_multiple=1
         )
+        #: max scan steps per executable invocation. The backend appears to
+        #: kill device executions running longer than ~60 s ("TPU device
+        #: error"); 32 chunks of 1024 quartets stays well under that for
+        #: every class, and the donated carry keeps the n^4 buffer
+        #: device-resident across calls.
+        SEG = 24
         self._tasks = []
         for blk in blocks:
             g1, g2 = groups[blk.g1], groups[blk.g2]
             ncA, ncB = ncart(g1.la), ncart(g1.lb)
             ncC, ncD = ncart(g2.la), ncart(g2.lb)
             xs = block_chunks(blk, g1, g2, cap=chunk_quartets)
+            nchunks = xs[0].shape[0]
+            seg = min(SEG, nchunks)
+            npad = (-nchunks) % seg
+            if npad:
+                # pad extra chunks with weight-0 / index-0 rows
+                def _padc(x, fill):
+                    return jnp.concatenate(
+                        [x, jnp.full((npad,) + x.shape[1:], fill, x.dtype)]
+                    )
+
+                xs = (_padc(xs[0], 0), _padc(xs[1], 0), _padc(xs[2], 0.0))
+            nseg = xs[0].shape[0] // seg
+            xs = tuple(x.reshape((nseg, seg) + x.shape[1:]) for x in xs)
 
             def block_program(flat, xs, g1=g1, g2=g2, ncA=ncA, ncB=ncB, ncC=ncC, ncD=ncD):
                 def body(carry, x):
@@ -108,31 +127,37 @@ class TermsAssembler:
 
         self._finish = jax.jit(finish, donate_argnums=(0,) if not system.spherical else ())
 
-        # ONE program for the whole assembly: the carry buffer must stay
-        # device-resident — separate per-block programs round-trip the
-        # donated buffer through the axon tunnel on every call (measured
-        # ~1 s/block of pure transfer overhead)
-        def terms_all(_token):
-            flat = jnp.zeros(nao**4 + 1, dtype=jnp.float64) + _token
-            for fn, xs in self._tasks:
-                flat = fn(flat, xs)
-            return self._finish(flat)
-
-        self._terms_all = jax.jit(terms_all)
-
     def programs(self):
-        """(name, jitted_fn, abstract_args) for precompilation."""
-        return [("terms_all", self._terms_all, (jax.ShapeDtypeStruct((), jnp.float64),))]
+        """(name, jitted_fn, abstract_args) for precompilation. One program
+        per block, executed once per scan segment (build())."""
+        flat_spec = jax.ShapeDtypeStruct((self.nao**4 + 1,), jnp.float64)
+        out = []
+        for i, (fn, xs) in enumerate(self._tasks):
+            seg_spec = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), xs
+            )
+            out.append((f"terms{i}", fn, (flat_spec, seg_spec)))
+        out.append(("finish", self._finish, (flat_spec,)))
+        return out
 
     def prewarm(self, max_workers: int | None = None) -> None:
-        """Compile the assembly program; build() then calls it directly."""
+        """Compile all block programs; build() then calls them directly."""
         self._compiled = precompile(self.programs(), max_workers=max_workers)
 
     def build(self) -> jax.Array:
-        """Run the assembly; returns the (n^2, n^2) terms operator."""
+        """Run the assembly; returns the (n^2, n^2) terms operator.
+
+        Each block program is invoked once per scan segment so no single
+        device execution exceeds the backend's ~60 s execution watchdog; the
+        donated flat buffer stays device-resident across calls.
+        """
         compiled = getattr(self, "_compiled", {})
-        runner = compiled.get("terms_all", self._terms_all)
-        return runner(jnp.zeros((), jnp.float64))
+        flat = jnp.zeros(self.nao**4 + 1, dtype=jnp.float64)
+        for i, (fn, xs) in enumerate(self._tasks):
+            runner = compiled.get(f"terms{i}", fn)
+            for k in range(xs[0].shape[0]):
+                flat = runner(flat, tuple(x[k] for x in xs))
+        return compiled.get("finish", self._finish)(flat)
 
 
 def precompile(programs, max_workers: int | None = None) -> dict:
