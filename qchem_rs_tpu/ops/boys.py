@@ -98,19 +98,22 @@ def boys(mmax: int, T: jax.Array) -> jax.Array:
     Tsmall = jnp.minimum(T, _T_SWITCH)
     i = jnp.clip(jnp.round(Tsmall / _DT).astype(jnp.int32), 0, table.shape[1] - 1)
     d = i * _DT - Tsmall  # (T_i - T)
-    # one 1D gather per table row: g[j] = F_j(T_i). A single 2D gather
-    # materializes with the small row axis minormost, which tile-pads to 128
-    # on TPU (measured 12.8 GB for a 1.5 GB logical tensor).
-    g = [jnp.asarray(table[j])[i] for j in range(mmax + _NTAYLOR)]
-    # Horner in d: F_m = g[m] + d (g[m+1] + d/2 (g[m+2] + d/3 (...)))
-    fs_small = []
-    for m in range(mmax + 1):
-        acc = g[m + _NTAYLOR - 1]
-        for k in range(_NTAYLOR - 1, 0, -1):
-            acc = g[m + k - 1] + d * acc / k
-        fs_small.append(acc)
-
     expT = jnp.exp(-T)
+    # one 1D gather per table row: g[j] = F_j(T_i). (A single 2D gather
+    # materializes with the small row axis minormost, which tile-pads to 128
+    # on TPU — measured 12.8 GB for a 1.5 GB logical tensor.) Only the 7
+    # rows for m = mmax are gathered; lower orders come from the stable
+    # downward recursion F_{m-1} = (2T F_m + e^-T)/(2m-1), which is cheaper
+    # than 7-term Taylor per order.
+    g = [jnp.asarray(table[mmax + j])[i] for j in range(_NTAYLOR)]
+    # Horner in d: F_mmax = g[0] + d (g[1] + d/2 (g[2] + d/3 (...)))
+    acc = g[_NTAYLOR - 1]
+    for k in range(_NTAYLOR - 1, 0, -1):
+        acc = g[k - 1] + d * acc / k
+    fs_small = [acc]
+    for m in range(mmax, 0, -1):
+        fs_small.append((2.0 * Tsmall * fs_small[-1] + expT) / (2.0 * m - 1.0))
+    fs_small = fs_small[::-1]  # F_0 .. F_mmax
     Tbig = jnp.maximum(T, _T_SWITCH)
     f0_big = 0.5 * jnp.sqrt(jnp.pi / Tbig)  # erf(sqrt(T)) == 1 to 7e-17 here
     fs_big = [f0_big]
