@@ -121,10 +121,13 @@ def block_chunks(blk: QuartetBlock, g1: PairGroup, g2: PairGroup, cap: int = 409
     from qchem_rs_tpu.ops.eri import _chunk_size
 
     n = blk.nq
-    # Chunk is EXACTLY 1024 quartets: other sizes (256, 1278, 2048) have
-    # triggered TPU kernel faults on this backend (miscompiles in the scan
-    # body). 1024 is empirically reliable and keeps intermediates bounded.
+    # Chunk must be a power-of-two >= 1024: odd sizes (256, 1278) triggered
+    # TPU kernel faults on this backend (miscompiles in the scan body), and
+    # larger chunks reduce scan serialization. Capped by the padded-footprint
+    # memory budget (_chunk_size).
     chunk = 1024
+    while chunk * 2 <= min(cap, _chunk_size(g1, g2)):
+        chunk *= 2
     nchunks = -(-n // chunk)
     pad = nchunks * chunk - n
     br = np.concatenate([blk.br[:n], np.zeros(pad, blk.br.dtype)])

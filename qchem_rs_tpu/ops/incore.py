@@ -50,12 +50,12 @@ class TermsAssembler:
         blocks = screened_quartets(
             groups, schwarz, screening_threshold, chunk_multiple=1
         )
-        #: max scan steps per executable invocation. The backend appears to
+        #: max quartets per executable invocation. The backend appears to
         #: kill device executions running longer than ~60 s ("TPU device
-        #: error"); 32 chunks of 1024 quartets stays well under that for
-        #: every class, and the donated carry keeps the n^4 buffer
-        #: device-resident across calls.
-        SEG = 24
+        #: error"); ~24k quartets per call stays well under that for every
+        #: class, and the donated carry keeps the n^4 buffer device-resident
+        #: across calls.
+        SEG_QUARTETS = 24 * 1024
         self._tasks = []
         for blk in blocks:
             g1, g2 = groups[blk.g1], groups[blk.g2]
@@ -63,7 +63,7 @@ class TermsAssembler:
             ncC, ncD = ncart(g2.la), ncart(g2.lb)
             xs = block_chunks(blk, g1, g2, cap=chunk_quartets)
             nchunks = xs[0].shape[0]
-            seg = min(SEG, nchunks)
+            seg = min(max(1, SEG_QUARTETS // xs[0].shape[1]), nchunks)
             npad = (-nchunks) % seg
             if npad:
                 # pad extra chunks with weight-0 / index-0 rows
