@@ -50,12 +50,16 @@ class TermsAssembler:
         blocks = screened_quartets(
             groups, schwarz, screening_threshold, chunk_multiple=1
         )
-        #: max quartets per executable invocation. The backend appears to
-        #: kill device executions running longer than ~60 s ("TPU device
-        #: error"); ~24k quartets per call stays well under that for every
-        #: class, and the donated carry keeps the n^4 buffer device-resident
-        #: across calls.
-        SEG_QUARTETS = 24 * 1024
+        #: compute budget per executable invocation, in primitive-quartet x
+        #: Hermite units (measured throughput ~12M units/s on one v5e in
+        #: emulated f64 -> ~20 s per call). Two backend constraints pull in
+        #: opposite directions: executions running ~60 s+ are killed by a
+        #: watchdog, while each invocation costs ~1.4 s of fixed overhead
+        #: (the n^4 carry is not donatable on this backend), so segments
+        #: should be as large as the watchdog allows.
+        SEG_UNITS = 250_000_000
+        from qchem_rs_tpu.ops.mcmurchie import nhermite
+
         self._tasks = []
         for blk in blocks:
             g1, g2 = groups[blk.g1], groups[blk.g2]
@@ -63,7 +67,13 @@ class TermsAssembler:
             ncC, ncD = ncart(g2.la), ncart(g2.lb)
             xs = block_chunks(blk, g1, g2, cap=chunk_quartets)
             nchunks = xs[0].shape[0]
-            seg = min(max(1, SEG_QUARTETS // xs[0].shape[1]), nchunks)
+            a = g1.p.shape[1]
+            c = g2.p.shape[1]
+            units_per_chunk = (
+                xs[0].shape[1] * a * c
+                * max(nhermite(g1.L + g2.L), nhermite(g1.L) * nhermite(g2.L))
+            )
+            seg = min(max(1, SEG_UNITS // max(1, units_per_chunk)), nchunks)
             npad = (-nchunks) % seg
             if npad:
                 # pad extra chunks with weight-0 / index-0 rows
