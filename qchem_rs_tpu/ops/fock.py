@@ -144,6 +144,9 @@ def _gather_block_args(g1: PairGroup, g2: PairGroup, br, kt, w):
     """Per-quartet device arrays for a chunk, gathered from group arrays.
 
     br/kt may be traced (e.g. inside lax.scan); w is the symmetry weight.
+    Gathers run on 2D views with the trailing dims fused: gathering the 4D E
+    directly materializes its tile-padded layout (small trailing dims pad to
+    (8,128) under f64 emulation — gigabytes per chunk for s-classes).
     """
     ncA, ncB = ncart(g1.la), ncart(g1.lb)
     ncC, ncD = ncart(g2.la), ncart(g2.lb)
@@ -151,13 +154,20 @@ def _gather_block_args(g1: PairGroup, g2: PairGroup, br, kt, w):
     ao_j = jnp.asarray(g1.ao_j.astype(np.int32))[br]
     ao_k = jnp.asarray(g2.ao_i.astype(np.int32))[kt]
     ao_l = jnp.asarray(g2.ao_j.astype(np.int32))[kt]
+    n1 = br.shape[0]
+    n2 = kt.shape[0]
+
+    def g2d(arr, idx, n):
+        flat = arr.reshape(arr.shape[0], -1)
+        return flat[idx].reshape((n,) + arr.shape[1:])
+
     return dict(
-        E1=g1.E[br],
+        E1=g2d(g1.E, br, n1),
         p1=g1.p[br],
-        P1=g1.P[br],
-        E2=g2.E[kt],
+        P1=g2d(g1.P, br, n1),
+        E2=g2d(g2.E, kt, n2),
         p2=g2.p[kt],
-        P2=g2.P[kt],
+        P2=g2d(g2.P, kt, n2),
         w=w,
         ii=ao_i[:, None] + jnp.arange(ncA, dtype=jnp.int32)[None, :],  # (n, ncA)
         jj=ao_j[:, None] + jnp.arange(ncB, dtype=jnp.int32)[None, :],
