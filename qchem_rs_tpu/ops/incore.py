@@ -74,6 +74,10 @@ class TermsAssembler:
                 * max(nhermite(g1.L + g2.L), nhermite(g1.L) * nhermite(g2.L))
             )
             seg = min(max(1, SEG_UNITS // max(1, units_per_chunk)), nchunks)
+            self._max_elems = max(
+                getattr(self, "_max_elems", 1),
+                xs[0].shape[1] * ncA * ncB * ncC * ncD,
+            )
             npad = (-nchunks) % seg
             if npad:
                 # pad extra chunks with weight-0 / index-0 rows
@@ -103,19 +107,29 @@ class TermsAssembler:
                     kk = b_(args["kk"][:, None, None, :, None])
                     ll = b_(args["ll"][:, None, None, None, :])
                     v = vals.ravel()
-                    # one fused scatter-add: concatenate all 16 symmetry
-                    # images (8 Coulomb +v, 8 exchange -v/2) — scatters are
-                    # the most compile-expensive ops on this backend
-                    idxs, vs = [], []
+                    # 16 scatters (8 Coulomb +v, 8 exchange -v/2), each with
+                    # UNIQUE indices: XLA:TPU serializes scatter-adds whose
+                    # indices may collide (~1.3 us/element — this was ~100%
+                    # of the ERI build time); with unique_indices=True it
+                    # vectorizes. Uniqueness within an image holds because
+                    # distinct shell quartets touch disjoint AO blocks;
+                    # padding rows (w == 0) are routed to per-element dump
+                    # slots beyond nao^4 so they cannot collide either.
+                    nelem = v.shape[0]
+                    valid = b_((w > 0)[:, None, None, None, None])
+                    dump = nao**4 + jax.lax.broadcasted_iota(jnp.int32, (nelem, 1), 0)[:, 0]
                     for (a_, b2, c_, d_) in (
                         (ii, jj, kk, ll), (jj, ii, kk, ll), (ii, jj, ll, kk), (jj, ii, ll, kk),
                         (kk, ll, ii, jj), (ll, kk, ii, jj), (kk, ll, jj, ii), (ll, kk, jj, ii),
                     ):
-                        idxs.append(((a_ * nao + b2) * nao + c_) * nao + d_)
-                        vs.append(v)
-                        idxs.append(((a_ * nao + c_) * nao + b2) * nao + d_)
-                        vs.append(-0.5 * v)
-                    carry = carry.at[jnp.concatenate(idxs)].add(jnp.concatenate(vs))
+                        idx_c = ((a_ * nao + b2) * nao + c_) * nao + d_
+                        idx_x = ((a_ * nao + c_) * nao + b2) * nao + d_
+                        carry = carry.at[jnp.where(valid, idx_c, dump)].add(
+                            v, unique_indices=True
+                        )
+                        carry = carry.at[jnp.where(valid, idx_x, dump)].add(
+                            -0.5 * v, unique_indices=True
+                        )
                     return carry, None
 
                 flat, _ = jax.lax.scan(body, flat, xs)
@@ -125,7 +139,7 @@ class TermsAssembler:
 
         # final reshape (+ optional spherical projection) as its own program
         def finish(flat):
-            out = flat[:-1].reshape(nao, nao, nao, nao)
+            out = flat[: nao**4].reshape(nao, nao, nao, nao)
             if system.spherical:
                 T = jnp.asarray(system.sph_T)
                 out = jnp.einsum("pqrs,pi->iqrs", out, T)
@@ -140,7 +154,7 @@ class TermsAssembler:
     def programs(self):
         """(name, jitted_fn, abstract_args) for precompilation. One program
         per block, executed once per scan segment (build())."""
-        flat_spec = jax.ShapeDtypeStruct((self.nao**4 + 1,), jnp.float64)
+        flat_spec = jax.ShapeDtypeStruct((self.nao**4 + self._max_elems,), jnp.float64)
         out = []
         for i, (fn, xs) in enumerate(self._tasks):
             seg_spec = jax.tree.map(
@@ -162,7 +176,7 @@ class TermsAssembler:
         donated flat buffer stays device-resident across calls.
         """
         compiled = getattr(self, "_compiled", {})
-        flat = jnp.zeros(self.nao**4 + 1, dtype=jnp.float64)
+        flat = jnp.zeros(self.nao**4 + self._max_elems, dtype=jnp.float64)
         for i, (fn, xs) in enumerate(self._tasks):
             runner = compiled.get(f"terms{i}", fn)
             for k in range(xs[0].shape[0]):
