@@ -145,12 +145,28 @@ def _rhf_scf(
 # Compilation strategy (see docs/DESIGN.md): for concrete geometries the
 # in-core path runs MODULAR programs (one per quartet class + one SCF), which
 # the axon remote compile service can build in parallel threads
-# (ops/incore.py). The single mega-program driver below remains for traceable
-# uses (vmapped conformer sweeps).
+# (ops/incore.py). The fully-traceable single-program path lives in
+# parallel/sweep.rhf_energy_fn (vmapped conformer sweeps).
 from weakref import WeakKeyDictionary
 
-_RHF_DRIVERS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
 _RHF_TOOLS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
+
+
+def _scf_statics(config: HartreeFockConfig, nocc: int) -> tuple:
+    """The full static-argument tuple baked into a compiled _rhf_scf
+    executable. A cached executable may only be reused when this matches the
+    current run's config — reusing across configs would silently execute the
+    old statics (wrong nocc/epsilon/...)."""
+    return (
+        nocc,
+        config.max_iterations,
+        config.epsilon,
+        config.convergence_metric,
+        config.diis_window(4, 6),
+        config.mixing_factor,
+        config.verbose,
+        config.level_shift,
+    )
 
 
 def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
@@ -214,60 +230,14 @@ def precompile_rhf(
     assembler._compiled_ones = {
         k: compiled.get(k, ones[k]) for k in ("S", "T", "V", "prep")
     }
-    assembler._compiled_scf = compiled.get("scf")
-
-
-def _rhf_driver(
-    system: MolecularSystem, config: HartreeFockConfig, nocc: int, warm: bool = False
-):
-    key = (
-        "rhf",
-        nocc,
-        warm,
-        config.max_iterations,
-        config.epsilon,
-        config.convergence_metric,
-        config.diis_window(4, 6),
-        config.mixing_factor,
-        config.verbose,
-        config.screening_threshold,
-    )
-    cache = _RHF_DRIVERS.setdefault(system, {})
-    if key not in cache:
-        n = system.n_basis()
-
-        def full(positions, density_guess=None):
-            from qchem_rs_tpu.ops.fock import eri_terms
-
-            S = one_electron.overlap(system, positions)
-            T = one_electron.kinetic(system, positions)
-            V = one_electron.nuclear(system, positions)
-            H = T + V
-            # (ij|kl) - 1/2 (ik|jl) as an (n^2, n^2) operator (rhf.rs:58-62),
-            # assembled in ONE n^4 buffer (half the peak HBM of building the
-            # ERI tensor and transposing it)
-            terms = eri_terms(
-                system, positions, screening_threshold=config.screening_threshold
-            )
-            X = scf.lowdin_x(S)
-            return _rhf_scf(
-                H,
-                X,
-                S,
-                nocc,
-                config.max_iterations,
-                config.epsilon,
-                config.convergence_metric,
-                config.diis_window(4, 6),
-                config.mixing_factor,
-                terms.reshape(n * n, n * n),
-                density_guess,
-                config.verbose,
-                config.level_shift,
-            )
-
-        cache[key] = jax.jit(full) if warm else jax.jit(lambda p: full(p))
-    return cache[key]
+    # keyed by the full static tuple: a later run with a different config must
+    # NOT reuse this executable (its nocc/epsilon/... are baked in)
+    scf_cache = getattr(assembler, "_compiled_scf", None)
+    if not isinstance(scf_cache, dict):
+        scf_cache = {}
+    if "scf" in compiled:
+        scf_cache[_scf_statics(config, nocc)] = compiled["scf"]
+    assembler._compiled_scf = scf_cache
 
 
 def _rhf_scf_direct(
@@ -300,12 +270,28 @@ def _rhf_scf_direct(
         F = H + G
         err = F @ D @ S - S @ D @ F
         F, diis = diis_apply(st.diis, err, F, diis_min)
-        C, w = scf.solve_fock(F, X)
+        if config.level_shift != 0.0:
+            # same virtual-space shift as the in-core loop (_rhf_scf)
+            Fp = X.T @ F @ X
+            SX = S @ X
+            Pp = SX.T @ (0.5 * D) @ SX
+            Fp = Fp + config.level_shift * (jnp.eye(n) - Pp)
+            w, Cp = jnp.linalg.eigh(Fp)
+            C = X @ Cp
+        else:
+            C, w = scf.solve_fock(F, X)
         D_new = scf.density_from_coeffs(C, nocc, scale=2.0)
         d_change = D_new - D
         D = D + config.mixing_factor * d_change
         energy = 0.5 * jnp.sum(D * (2.0 * H + G))
         rms = scf.density_rms(d_change, config.convergence_metric)
+        if config.verbose:
+            jax.debug.print(
+                "iteration {i:<4} - electronic energy {e:1.4f}. density rms {r:1.4e}",
+                i=st.iteration,
+                e=energy,
+                r=rms,
+            )
         return _ScfState(
             iteration=st.iteration + 1,
             density=D,
@@ -399,7 +385,8 @@ def restricted_hartree_fock(
             jnp.asarray(density_guess) if warm else None, config.verbose,
             config.level_shift,
         )
-        cscf = getattr(assembler, "_compiled_scf", None)
+        scf_cache = getattr(assembler, "_compiled_scf", None) or {}
+        cscf = scf_cache.get(_scf_statics(config, nocc)) if isinstance(scf_cache, dict) else None
         if cscf is not None and not warm:
             st = cscf(H, X, S, terms_mat, None)
         else:

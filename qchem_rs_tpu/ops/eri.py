@@ -37,10 +37,6 @@ from qchem_rs_tpu.ops.mcmurchie import (
 )
 from qchem_rs_tpu.utils.system import MolecularSystem
 
-#: max elements for the (n, a, c, S1, S2) intermediates per chunk. Sized
-#: conservatively: TPU f64 is emulated (float32 pairs) and XLA keeps several
-#: intermediates of this footprint live during the R-table recursion.
-DEFAULT_CHUNK_BUDGET = 1 << 22
 
 
 @dataclasses.dataclass
@@ -204,9 +200,6 @@ def _eri_chunk_core(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
     return jnp.einsum("nctA,ncCt->nAC", T1, E2)
 
 
-_eri_chunk = partial(jax.jit, static_argnums=(0, 1))(_eri_chunk_core)
-
-
 def _quartet_indices(g1: PairGroup, g2: PairGroup, same: bool):
     if same:
         br, kt = np.triu_indices(g1.npairs)
@@ -245,7 +238,7 @@ def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int = 0) -> int:
         per_quartet_bytes = a * c * (_ceil(S1, 8) * _ceil(S2, 128) + boys_rows) * 16
     else:
         per_quartet_bytes = a * c * (max(S1 * S2, H) + boys_rows) * 16
-    return int(np.clip(CHUNK_BYTES_BUDGET // per_quartet_bytes, 16, 1 << 12))
+    return int(np.clip((budget or CHUNK_BYTES_BUDGET) // per_quartet_bytes, 16, 1 << 12))
 
 
 def _scatter_quartets(nao: int, flat, vals, ii, jj, kk, ll, valid):
@@ -293,7 +286,7 @@ def _scatter_quartets(nao: int, flat, vals, ii, jj, kk, ll, valid):
 def eri(
     system: MolecularSystem,
     positions=None,
-    chunk_budget: int = DEFAULT_CHUNK_BUDGET,
+    chunk_budget: int | None = None,  # HBM bytes for per-chunk intermediates
     screening_threshold: float = 0.0,
 ) -> jnp.ndarray:
     """Full dense ERI tensor (nao, nao, nao, nao), chemists' (ij|kl).

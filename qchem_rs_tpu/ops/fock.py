@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qchem_rs_tpu.ops.angular import ncart
-from qchem_rs_tpu.ops.eri import PairGroup, _eri_chunk, _eri_chunk_core, build_pair_groups
+from qchem_rs_tpu.ops.eri import PairGroup, _eri_chunk_core, build_pair_groups
 from qchem_rs_tpu.utils.system import MolecularSystem
 
 

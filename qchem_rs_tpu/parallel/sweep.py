@@ -17,7 +17,6 @@ import numpy as np
 from qchem_rs_tpu.config import HartreeFockConfig
 from qchem_rs_tpu.models import scf
 from qchem_rs_tpu.models.rhf import _rhf_scf
-from qchem_rs_tpu.ops import eri as eri_ops
 from qchem_rs_tpu.ops import one_electron
 from qchem_rs_tpu.parallel.mesh import batch_sharding, data_mesh
 from qchem_rs_tpu.utils.system import MolecularSystem
@@ -38,12 +37,18 @@ def rhf_energy_fn(system: MolecularSystem, config: HartreeFockConfig):
     charges = jnp.asarray(system.charges)
 
     def fn(positions: jax.Array):
+        from qchem_rs_tpu.ops.fock import eri_terms
+
         S = one_electron.overlap(system, positions)
         T = one_electron.kinetic(system, positions)
         V = one_electron.nuclear(system, positions)
         H = T + V
-        E4 = eri_ops.eri(system, positions)
-        terms = E4 - 0.5 * jnp.transpose(E4, (0, 2, 1, 3))
+        # (ij|kl) - 1/2 (ik|jl) assembled in ONE n^4 buffer (building the full
+        # ERI tensor and transposing it doubles peak HBM — the construction
+        # that crashed benzene/cc-pVDZ on a 16 GB chip)
+        terms = eri_terms(
+            system, positions, screening_threshold=config.screening_threshold
+        )
         X = scf.lowdin_x(S)
         st = _rhf_scf(
             H,

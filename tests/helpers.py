@@ -5,8 +5,11 @@ import numpy as np
 from qchem_rs_tpu.utils.basis import BasisSet, ShellSpec
 from qchem_rs_tpu.utils.system import Atom, MolecularSystem
 
-DATA_BASIS = "/root/reference/data/basis"
-DATA_MOL = "/root/reference/data/mol"
+import os
+
+_DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+DATA_BASIS = os.path.abspath(os.path.join(_DATA, "basis"))
+DATA_MOL = os.path.abspath(os.path.join(_DATA, "mol"))
 
 
 def make_synthetic_system(lmax=2, seed=0):
