@@ -50,7 +50,7 @@ def run_once(system, cfg, budget_s=None):
 
 CONFIGS = [
     ("benzene", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_benzene_ccpvdz"),
-    ("benzene", "/root/reference/data/basis/6-31G.json", "rhf_benzene_631g"),
+    ("benzene", os.path.join(ROOT, "data", "basis", "6-31G.json"), "rhf_benzene_631g"),
     ("water", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_water_ccpvdz"),
 ]
 

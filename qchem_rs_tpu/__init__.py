@@ -16,6 +16,19 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS explicitly: some managed TPU environments pre-register
+# backends in a way that makes the plain env var unreliable (a process asking
+# for "cpu" silently initializes the remote TPU backend instead and every
+# transfer crosses the tunnel — observed as a 25x CLI slowdown). The config
+# update is authoritative; applying it here (before any jax computation)
+# makes `JAX_PLATFORMS=cpu python -m qchem_rs_tpu.cli ...` mean what it says.
+_platforms = os.environ.get("JAX_PLATFORMS")
+if _platforms:
+    try:
+        jax.config.update("jax_platforms", _platforms)
+    except Exception:
+        pass
+
 # Persistent compilation cache: the class-batched integral kernels compile
 # once per (class signature, batch shape); cache them across processes.
 _cache_dir = os.environ.get("QCHEM_COMPILE_CACHE", os.path.expanduser("~/.cache/qchem_rs_tpu/xla"))

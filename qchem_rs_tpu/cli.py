@@ -56,15 +56,56 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
         default=1e-12,
         help="Schwarz screening threshold for shell quartets (0 disables)",
     )
+    p.add_argument(
+        "--fock-mode",
+        choices=["incore", "direct"],
+        default="incore",
+        help="incore materializes the ERI tensor once; direct rebuilds "
+        "screened J/K each iteration (for systems whose ERIs exceed HBM)",
+    )
+    p.add_argument(
+        "--level-shift",
+        type=float,
+        default=0.0,
+        help="virtual-orbital level shift in Hartree (0 disables); "
+        "stabilizes oscillatory SCF cases",
+    )
+    p.add_argument(
+        "--trace-dir",
+        default=None,
+        help="write a jax.profiler trace of the run to this directory "
+        "(view with TensorBoard / xprof)",
+    )
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        help="write the converged SCF state to this .npz path",
+    )
+    p.add_argument(
+        "--resume",
+        default=None,
+        help="warm-start from an .npz checkpoint written by --checkpoint",
+    )
+
+
+class CliError(Exception):
+    """User-facing CLI error (bad paths/data): printed as one line, no
+    traceback (the reference panics; we exit 2 cleanly)."""
 
 
 def _build(args):
     from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
 
-    basis = BasisSet.load(args.basis_set)
-    system = MolecularSystem.load(
-        args.molecule, basis, spherical=getattr(args, "spherical", False)
-    )
+    try:
+        basis = BasisSet.load(args.basis_set)
+    except (OSError, ValueError, KeyError) as e:
+        raise CliError(f"cannot load basis set {args.basis_set!r}: {e}") from e
+    try:
+        system = MolecularSystem.load(
+            args.molecule, basis, spherical=getattr(args, "spherical", False)
+        )
+    except (OSError, ValueError, KeyError) as e:
+        raise CliError(f"cannot load molecule {args.molecule!r}: {e}") from e
     cfg = HartreeFockConfig(
         max_iterations=args.max_iterations,
         epsilon=args.epsilon,
@@ -74,8 +115,27 @@ def _build(args):
         mixing_factor=args.mixing,
         verbose=args.verbose,
         screening_threshold=getattr(args, "screening_threshold", 1e-12),
+        fock_mode=getattr(args, "fock_mode", "incore"),
+        level_shift=getattr(args, "level_shift", 0.0),
     )
     return system, cfg
+
+
+def _resume_guess(args, kind: str):
+    """Load a --resume checkpoint's density as the warm-start guess."""
+    if not getattr(args, "resume", None):
+        return None
+    from qchem_rs_tpu.utils.checkpoint import ScfCheckpoint
+
+    try:
+        ck = ScfCheckpoint.load(args.resume)
+    except OSError as e:
+        raise CliError(f"cannot load checkpoint {args.resume!r}: {e}") from e
+    if ck.kind != kind:
+        raise CliError(
+            f"checkpoint {args.resume!r} is kind={ck.kind!r}, expected {kind!r}"
+        )
+    return ck.density
 
 
 def _fmt_orbitals(w) -> str:
@@ -84,13 +144,20 @@ def _fmt_orbitals(w) -> str:
 
 def cmd_rhf(args) -> int:
     from qchem_rs_tpu import restricted_hartree_fock
+    from qchem_rs_tpu.utils.profiling import trace
 
     system, cfg = _build(args)
     if cfg.spin_multiplicity == 0:
         cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
+    guess = _resume_guess(args, "rhf")
     start = time.perf_counter()
-    out = restricted_hartree_fock(system, cfg)
+    with trace(args.trace_dir):
+        out = restricted_hartree_fock(system, cfg, density_guess=guess)
     elapsed = time.perf_counter() - start
+    if args.checkpoint:
+        from qchem_rs_tpu.utils.checkpoint import from_rhf_output
+
+        from_rhf_output(out, system).save(args.checkpoint)
     if not out.converged:
         print("hartree fock did not converge", file=sys.stderr)
         return 1
@@ -104,11 +171,18 @@ def cmd_rhf(args) -> int:
 
 def cmd_uhf(args) -> int:
     from qchem_rs_tpu import unrestricted_hartree_fock
+    from qchem_rs_tpu.utils.profiling import trace
 
     system, cfg = _build(args)
+    guess = _resume_guess(args, "uhf")
     start = time.perf_counter()
-    out = unrestricted_hartree_fock(system, cfg)
+    with trace(args.trace_dir):
+        out = unrestricted_hartree_fock(system, cfg, density_guess=guess)
     elapsed = time.perf_counter() - start
+    if args.checkpoint:
+        from qchem_rs_tpu.utils.checkpoint import from_uhf_output
+
+        from_uhf_output(out, system).save(args.checkpoint)
     if not out.converged:
         print("hartree fock did not converge", file=sys.stderr)
         return 1
@@ -136,26 +210,32 @@ def cmd_info(args) -> int:
 
 def cmd_sweep(args) -> int:
     """Batched conformer sweep: RHF over a batch of geometries (an axis the
-    reference cannot do at all — SURVEY.md §2.2)."""
+    reference cannot do at all — SURVEY.md §2.2). ``--chain`` runs the
+    conformers sequentially instead, warm-starting each from the previous
+    converged density — the right mode for correlated scans (reaction paths,
+    bond stretches) where the density changes smoothly."""
     import json
 
     import numpy as np
 
-    from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
-    from qchem_rs_tpu.parallel.sweep import conformer_sweep
+    from qchem_rs_tpu.utils.profiling import trace
 
-    basis = BasisSet.load(args.basis_set)
-    system = MolecularSystem.load(args.molecule, basis)
-    with open(args.geometries) as f:
-        geoms = np.asarray(json.load(f), dtype=np.float64)  # (nconf, natom, 3)
-    cfg = HartreeFockConfig(
-        max_iterations=args.max_iterations,
-        epsilon=args.epsilon,
-        charge=args.charge,
-        convergence_metric=args.convergence,
-    )
+    system, cfg = _build(args)
+    try:
+        with open(args.geometries) as f:
+            geoms = np.asarray(json.load(f), dtype=np.float64)  # (nconf, natom, 3)
+    except (OSError, ValueError) as e:
+        raise CliError(f"cannot load geometries {args.geometries!r}: {e}") from e
     start = time.perf_counter()
-    energies, converged = conformer_sweep(system, geoms, cfg)
+    with trace(args.trace_dir):
+        if args.chain:
+            from qchem_rs_tpu.parallel.sweep import chained_sweep
+
+            energies, converged = chained_sweep(system, geoms, cfg)
+        else:
+            from qchem_rs_tpu.parallel.sweep import conformer_sweep
+
+            energies, converged = conformer_sweep(system, geoms, cfg)
     elapsed = time.perf_counter() - start
     print(f"swept {len(geoms)} conformers in {elapsed:0.2f}s")
     for i, (e, c) in enumerate(zip(energies, converged)):
@@ -188,6 +268,12 @@ def main(argv=None) -> int:
     p_sweep = sub.add_parser("sweep", help="batched conformer sweep (RHF)")
     _common_flags(p_sweep, uhf=False)
     p_sweep.add_argument("--geometries", "-g", required=True, help="JSON (nconf, natom, 3) positions in Bohr")
+    p_sweep.add_argument(
+        "--chain",
+        action="store_true",
+        help="sequential sweep, each conformer warm-started from the "
+        "previous density (for correlated scans)",
+    )
     p_sweep.set_defaults(fn=cmd_sweep)
 
     args = parser.parse_args(argv)
@@ -195,7 +281,11 @@ def main(argv=None) -> int:
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(levelname)s %(name)s: %(message)s",
     )
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except CliError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

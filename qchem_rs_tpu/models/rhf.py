@@ -170,8 +170,8 @@ def _scf_statics(config: HartreeFockConfig, nocc: int) -> tuple:
 
 
 def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
-    """Modular per-system programs: 1e integrals + terms assembler."""
-    from qchem_rs_tpu.ops.incore import TermsAssembler
+    """Modular per-system programs: 1e integrals + tiled pair-space engine."""
+    from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
 
     key = (config.screening_threshold,)
     cache = _RHF_TOOLS.setdefault(system, {})
@@ -184,8 +184,8 @@ def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
             # path triggers no fresh compiles after precompile
             "prep": jax.jit(lambda S, T, V: (T + V, scf.lowdin_x(S))),
         }
-        assembler = TermsAssembler(system, config.screening_threshold)
-        cache[key] = (ones, assembler)
+        engine = TiledEriEngine(system, config.screening_threshold)
+        cache[key] = (ones, engine)
     return cache[key]
 
 
@@ -203,14 +203,14 @@ def precompile_rhf(
 
     config = config or HartreeFockConfig()
     nocc = system.n_electrons(config.charge) // 2
-    ones, assembler = _incore_tools(system, config)
+    ones, engine = _incore_tools(system, config)
     n = system.n_basis()
     pos_spec = jax.ShapeDtypeStruct((len(system.atoms), 3), jnp.float64)
     mat = jax.ShapeDtypeStruct((n, n), jnp.float64)
     terms_spec = jax.ShapeDtypeStruct((n * n, n * n), jnp.float64)
     programs = [(k, fn, (pos_spec,)) for k, fn in ones.items() if k != "prep"]
     programs.append(("prep", ones["prep"], (mat, mat, mat)))
-    programs += assembler.programs()
+    programs += engine.programs()
     programs.append(
         (
             "scf",
@@ -224,20 +224,21 @@ def precompile_rhf(
         )
     )
     compiled = precompile(programs, max_workers=max_workers)
-    assembler._compiled = {
-        k: v for k, v in compiled.items() if k.startswith("terms") or k == "finish"
+    engine._compiled = {
+        k: v for k, v in compiled.items()
+        if k.startswith("v2_") or k.startswith("finish")
     }
-    assembler._compiled_ones = {
+    engine._compiled_ones = {
         k: compiled.get(k, ones[k]) for k in ("S", "T", "V", "prep")
     }
     # keyed by the full static tuple: a later run with a different config must
     # NOT reuse this executable (its nocc/epsilon/... are baked in)
-    scf_cache = getattr(assembler, "_compiled_scf", None)
+    scf_cache = getattr(engine, "_compiled_scf", None)
     if not isinstance(scf_cache, dict):
         scf_cache = {}
     if "scf" in compiled:
         scf_cache[_scf_statics(config, nocc)] = compiled["scf"]
-    assembler._compiled_scf = scf_cache
+    engine._compiled_scf = scf_cache
 
 
 def _rhf_scf_direct(
@@ -363,9 +364,9 @@ def restricted_hartree_fock(
             lambda H, X, S: _rhf_scf_direct(H, X, S, nocc, config, builder._jk_impl)
         )(H, X, S)
     else:
-        # modular in-core path: per-class programs + one SCF program
-        ones, assembler = _incore_tools(system, config)
-        cones = getattr(assembler, "_compiled_ones", ones)
+        # modular in-core path: per-class-pair V2 programs + one SCF program
+        ones, engine = _incore_tools(system, config)
+        cones = getattr(engine, "_compiled_ones", ones)
         t1 = time.perf_counter()
         S = cones["S"](positions)
         T_ = cones["T"](positions)
@@ -374,7 +375,7 @@ def restricted_hartree_fock(
         S.block_until_ready()
         timings["one_electron_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
-        terms_mat = assembler.build()
+        terms_mat = engine.finish_terms(engine.build())
         terms_mat.block_until_ready()
         timings["eri_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
@@ -385,7 +386,7 @@ def restricted_hartree_fock(
             jnp.asarray(density_guess) if warm else None, config.verbose,
             config.level_shift,
         )
-        scf_cache = getattr(assembler, "_compiled_scf", None) or {}
+        scf_cache = getattr(engine, "_compiled_scf", None) or {}
         cscf = scf_cache.get(_scf_statics(config, nocc)) if isinstance(scf_cache, dict) else None
         if cscf is not None and not warm:
             st = cscf(H, X, S, terms_mat, None)

@@ -10,8 +10,12 @@ averaged over spins and then halved *again* before comparison (uhf.rs:137-139)
 — reproduced under the default "diag_rms" metric, fixed under "full_rms".
 
 TPU-first: densities/Focks/DIIS stacks carry a leading spin axis of size 2;
-DIIS is vmapped over it. Proper charge/spin-multiplicity support included
-(the reference accepts these flags and ignores them, main.rs:111-117).
+DIIS is vmapped over it. J and both exchange matrices contract against ONE
+(n,n,n,n) ERI buffer (the reference materializes the tensor once too,
+uhf.rs:55; round 1 wastefully kept a second transposed n^4 copy). Proper
+charge/spin-multiplicity support included (the reference accepts these flags
+and ignores them, main.rs:111-117). ``fock_mode="direct"`` rebuilds screened
+J/K per spin every iteration with no ERI tensor at all.
 """
 
 from __future__ import annotations
@@ -27,7 +31,6 @@ import numpy as np
 from qchem_rs_tpu.config import HartreeFockConfig
 from qchem_rs_tpu.models import scf
 from qchem_rs_tpu.models.diis import DiisState, diis_apply, diis_init
-from qchem_rs_tpu.ops import eri as eri_ops
 from qchem_rs_tpu.ops import one_electron
 from qchem_rs_tpu.utils.system import MolecularSystem
 
@@ -61,23 +64,13 @@ class _UhfState(NamedTuple):
     coefficients: jax.Array  # (2, n, n)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 13))
-def _uhf_scf(
-    H: jax.Array,
-    X: jax.Array,
-    S: jax.Array,
-    nocc: tuple[int, int],
-    max_iterations: int,
-    epsilon: float,
-    metric: str,
-    diis_window: tuple[int, int],
-    mixing: float,
-    n: int,
-    eri_mat: jax.Array,  # (n^2, n^2) (ij|kl)
-    k_mat: jax.Array,  # (n^2, n^2) (ik|jl)
-    density_guess: Optional[jax.Array] = None,  # (2, n, n) warm start
-    verbose: bool = False,
+def _uhf_loop(
+    H, X, S, nocc, max_iterations, epsilon, metric, diis_window, mixing,
+    jk_fn, density_guess, verbose,
 ) -> _UhfState:
+    """Shared UHF fixed point; ``jk_fn(D) -> (J_total, K_stack)`` where D is
+    the (2, n, n) spin-density stack."""
+    n = H.shape[0]
     diis_min, diis_max = diis_window
     occ_mask = jnp.stack(
         [jnp.arange(n) < nocc[0], jnp.arange(n) < nocc[1]]
@@ -96,9 +89,7 @@ def _uhf_scf(
 
     def body(st: _UhfState) -> _UhfState:
         D = st.density  # (2, n, n)
-        Dtot = D[0] + D[1]
-        J = (eri_mat @ Dtot.reshape(-1)).reshape(n, n)
-        K = (k_mat @ D.reshape(2, -1).T).T.reshape(2, n, n)
+        J, K = jk_fn(D)
         G = J[None] - K  # (2, n, n), uhf.rs:210-227
         F = H[None] + G
         err = F @ D @ S[None] - S[None] @ D @ F
@@ -152,63 +143,133 @@ def _uhf_scf(
     return jax.lax.while_loop(cond, body, init)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 11))
+def _uhf_scf(
+    H: jax.Array,
+    X: jax.Array,
+    S: jax.Array,
+    nocc: tuple[int, int],
+    max_iterations: int,
+    epsilon: float,
+    metric: str,
+    diis_window: tuple[int, int],
+    mixing: float,
+    eri4: jax.Array,  # (n, n, n, n) chemists' (ij|kl) — the ONLY n^4 buffer
+    density_guess: Optional[jax.Array] = None,  # (2, n, n) warm start
+    verbose: bool = False,
+) -> _UhfState:
+    n = H.shape[0]
+    eri_mat = eri4.reshape(n * n, n * n)
+
+    def jk(D):
+        Dtot = D[0] + D[1]
+        J = (eri_mat @ Dtot.reshape(-1)).reshape(n, n)
+        # K^s_ij = sum_kl (ik|jl) D^s_kl from the SAME buffer — contraction
+        # over axes (1, 3); no transposed n^4 copy is kept in HBM across
+        # iterations (uhf.rs:210-227 reads the one EriTensor each pass too)
+        K = jnp.einsum("ikjl,skl->sij", eri4, D)
+        return J, K
+
+    return _uhf_loop(
+        H, X, S, nocc, max_iterations, epsilon, metric, diis_window, mixing,
+        jk, density_guess, verbose,
+    )
+
+
+def _uhf_scf_direct(
+    H, X, S, nocc, config: HartreeFockConfig, jk_builder, density_guess=None
+) -> _UhfState:
+    """UHF with an integral-direct screened J/K builder (no ERI tensor).
+
+    ``jk_builder`` is DirectFockBuilder._jk_impl / ShardedFockBuilder-style:
+    D (n, n) -> (J, K). Linearity gives J_tot = J(D_a) + J(D_b); the two
+    spin exchanges come from the same two evaluations.
+    """
+
+    def jk(D):
+        Ja, Ka = jk_builder(D[0])
+        Jb, Kb = jk_builder(D[1])
+        return Ja + Jb, jnp.stack([Ka, Kb])
+
+    return _uhf_loop(
+        H, X, S, nocc, config.max_iterations, config.epsilon,
+        config.convergence_metric, config.diis_window(2, 8),
+        config.mixing_factor, jk, density_guess, config.verbose,
+    )
+
+
 from weakref import WeakKeyDictionary
 
-_UHF_DRIVERS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
+_UHF_TOOLS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
 
 
-def _uhf_driver(
-    system: MolecularSystem,
-    config: HartreeFockConfig,
-    nocc: tuple[int, int],
-    warm: bool = False,
-):
-    key = (
-        "uhf",
+def _uhf_statics(config: HartreeFockConfig, nocc: tuple[int, int]) -> tuple:
+    return (
         nocc,
-        warm,
         config.max_iterations,
         config.epsilon,
         config.convergence_metric,
         config.diis_window(2, 8),
         config.mixing_factor,
         config.verbose,
-        config.screening_threshold,
     )
-    cache = _UHF_DRIVERS.setdefault(system, {})
-    if key not in cache:
-        n = system.n_basis()
 
-        def full(positions, density_guess=None):
-            S = one_electron.overlap(system, positions)
-            T = one_electron.kinetic(system, positions)
-            V = one_electron.nuclear(system, positions)
-            H = T + V
-            E4 = eri_ops.eri(
-                system, positions, screening_threshold=config.screening_threshold
-            )
-            eri_mat = E4.reshape(n * n, n * n)
-            k_mat = jnp.transpose(E4, (0, 2, 1, 3)).reshape(n * n, n * n)
-            X = scf.lowdin_x(S)
-            return _uhf_scf(
-                H,
-                X,
-                S,
-                nocc,
-                config.max_iterations,
-                config.epsilon,
-                config.convergence_metric,
-                config.diis_window(2, 8),
-                config.mixing_factor,
-                n,
-                eri_mat,
-                k_mat,
-                density_guess,
-                config.verbose,
-            )
 
-        cache[key] = jax.jit(full) if warm else jax.jit(lambda p: full(p))
-    return cache[key]
+def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
+    """Modular per-system programs shared with RHF, plus the ERI expansion."""
+    from qchem_rs_tpu.models import rhf as rhf_mod
+
+    ones, engine = rhf_mod._incore_tools(system, config)
+    return ones, engine
+
+
+def precompile_uhf(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    max_workers: int | None = None,
+) -> None:
+    """Compile every program an in-core UHF run needs (cf. precompile_rhf)."""
+    from qchem_rs_tpu.ops.incore import precompile
+
+    config = config or HartreeFockConfig()
+    nocc = scf.electron_counts(system.n_electrons(config.charge), config.spin_multiplicity)
+    ones, engine = _incore_tools(system, config)
+    n = system.n_basis()
+    pos_spec = jax.ShapeDtypeStruct((len(system.atoms), 3), jnp.float64)
+    mat = jax.ShapeDtypeStruct((n, n), jnp.float64)
+    eri_spec = jax.ShapeDtypeStruct((n, n, n, n), jnp.float64)
+    programs = [(k, fn, (pos_spec,)) for k, fn in ones.items() if k != "prep"]
+    programs.append(("prep", ones["prep"], (mat, mat, mat)))
+    programs += [p for p in engine.programs() if p[0] != "finish_terms"]
+    programs.append(("finish_eri", engine._finish_eri_jit,
+                     (jax.ShapeDtypeStruct((engine.layout.M, engine.layout.M), jnp.float64),)))
+    programs.append(
+        (
+            "uhf_scf",
+            _uhf_scf,
+            (
+                mat, mat, mat, nocc,
+                config.max_iterations, config.epsilon, config.convergence_metric,
+                config.diis_window(2, 8), config.mixing_factor, eri_spec,
+                None, config.verbose,
+            ),
+        )
+    )
+    compiled = precompile(programs, max_workers=max_workers)
+    eng_compiled = getattr(engine, "_compiled", {})
+    eng_compiled.update(
+        {k: v for k, v in compiled.items() if k.startswith("v2_") or k.startswith("finish")}
+    )
+    engine._compiled = eng_compiled
+    engine._compiled_ones = {
+        k: compiled.get(k, ones[k]) for k in ("S", "T", "V", "prep")
+    }
+    scf_cache = getattr(engine, "_compiled_uhf_scf", None)
+    if not isinstance(scf_cache, dict):
+        scf_cache = {}
+    if "uhf_scf" in compiled:
+        scf_cache[_uhf_statics(config, nocc)] = compiled["uhf_scf"]
+    engine._compiled_uhf_scf = scf_cache
 
 
 def unrestricted_hartree_fock(
@@ -228,10 +289,55 @@ def unrestricted_hartree_fock(
 
     timings: dict = {}
     warm = density_guess is not None
-    driver = _uhf_driver(system, config, nocc, warm=warm)
-    t0 = time.perf_counter()
     positions = jnp.asarray(system.positions)
-    st = driver(positions, jnp.asarray(density_guess)) if warm else driver(positions)
+    guess = jnp.asarray(density_guess) if warm else None
+    t0 = time.perf_counter()
+    if config.fock_mode == "direct":
+        from qchem_rs_tpu.ops.fock import DirectFockBuilder
+
+        builder = DirectFockBuilder(system, threshold=config.screening_threshold)
+        S = one_electron.overlap(system, positions)
+        H = one_electron.kinetic(system, positions) + one_electron.nuclear(
+            system, positions
+        )
+        X = scf.lowdin_x(S)
+        if warm:
+            st = jax.jit(
+                lambda H, X, S, g: _uhf_scf_direct(
+                    H, X, S, nocc, config, builder._jk_impl, g
+                )
+            )(H, X, S, guess)
+        else:
+            st = jax.jit(
+                lambda H, X, S: _uhf_scf_direct(H, X, S, nocc, config, builder._jk_impl)
+            )(H, X, S)
+    else:
+        ones, engine = _incore_tools(system, config)
+        cones = getattr(engine, "_compiled_ones", ones)
+        t1 = time.perf_counter()
+        S = cones["S"](positions)
+        T_ = cones["T"](positions)
+        V_ = cones["V"](positions)
+        H, X = cones["prep"](S, T_, V_)
+        S.block_until_ready()
+        timings["one_electron_s"] = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        eri4 = engine.finish_eri(engine.build())
+        eri4.block_until_ready()
+        timings["eri_s"] = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        scf_cache = getattr(engine, "_compiled_uhf_scf", None) or {}
+        cscf = scf_cache.get(_uhf_statics(config, nocc)) if isinstance(scf_cache, dict) else None
+        if cscf is not None and not warm:
+            st = cscf(H, X, S, eri4, None)
+        else:
+            st = _uhf_scf(
+                H, X, S, nocc,
+                config.max_iterations, config.epsilon, config.convergence_metric,
+                config.diis_window(2, 8), config.mixing_factor, eri4,
+                guess, config.verbose,
+            )
+        timings["scf_s"] = time.perf_counter() - t1
     st.density.block_until_ready()
     timings["total_s"] = time.perf_counter() - t0
 

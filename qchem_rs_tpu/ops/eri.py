@@ -200,15 +200,6 @@ def _eri_chunk_core(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
     return jnp.einsum("nctA,ncCt->nAC", T1, E2)
 
 
-def _quartet_indices(g1: PairGroup, g2: PairGroup, same: bool):
-    if same:
-        br, kt = np.triu_indices(g1.npairs)
-    else:
-        br, kt = np.meshgrid(np.arange(g1.npairs), np.arange(g2.npairs), indexing="ij")
-        br, kt = br.ravel(), kt.ravel()
-    return br, kt
-
-
 def _ceil(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -241,134 +232,24 @@ def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int = 0) -> int:
     return int(np.clip((budget or CHUNK_BYTES_BUDGET) // per_quartet_bytes, 16, 1 << 12))
 
 
-def _scatter_quartets(nao: int, flat, vals, ii, jj, kk, ll, valid):
-    """Scatter a quartet block into the dense (nao^4 + 1,) buffer under
-    8-fold permutational symmetry.
-
-    vals: (n, nA, nB, nC, nD) block values (i_A j_B | k_C l_D).
-    ii/jj/kk/ll: AO index arrays broadcastable to vals' shape, one per slot.
-    valid: (n, 1, 1, 1, 1) bool; padded quartets land in the dump slot.
-
-    Each element of ``vals`` carries its own four AO indices, so every
-    symmetry image is just a permutation of which index array fills which
-    slot — vals itself never needs transposing. Duplicate writes (coincident
-    shells) write identical values, so ``set`` semantics are safe.
-    """
-    shape = vals.shape
-    b = lambda x: jnp.broadcast_to(x, shape)
-    ii, jj, kk, ll = b(ii), b(jj), b(kk), b(ll)
-    dump = nao**4
-    valid = b(valid)
-
-    def flat_idx(w, x, y, z):
-        idx = ((w * nao + x) * nao + y) * nao + z
-        return jnp.where(valid, idx, dump).ravel()
-
-    v = vals.ravel()
-    # one fused scatter for all 8 images (duplicate indices carry identical
-    # values, so .set semantics remain safe)
-    idxs = [
-        flat_idx(w, x, y, z)
-        for (w, x, y, z) in (
-            (ii, jj, kk, ll),
-            (jj, ii, kk, ll),
-            (ii, jj, ll, kk),
-            (jj, ii, ll, kk),
-            (kk, ll, ii, jj),
-            (ll, kk, ii, jj),
-            (kk, ll, jj, ii),
-            (ll, kk, jj, ii),
-        )
-    ]
-    return flat.at[jnp.concatenate(idxs)].set(jnp.concatenate([v] * 8))
-
-
 def eri(
     system: MolecularSystem,
     positions=None,
-    chunk_budget: int | None = None,  # HBM bytes for per-chunk intermediates
     screening_threshold: float = 0.0,
 ) -> jnp.ndarray:
     """Full dense ERI tensor (nao, nao, nao, nao), chemists' (ij|kl).
 
     In-core path (reference parity: rhf.rs:45 materializes the full tensor
-    too). Unique shell quartets only; 8-fold scatter. With
-    ``screening_threshold > 0`` shell quartets with Schwarz bound
-    q_P q_Q <= threshold are skipped (their tensor entries stay zero).
+    too), built by the scatter-free tiled pair-space engine
+    (ops/eri_tiled.py). With ``screening_threshold > 0`` tile blocks whose
+    Schwarz bound product is below threshold are skipped (entries stay zero).
     For systems too large to hold nao^4 in HBM use the integral-direct Fock
     build instead (qchem_rs_tpu.ops.fock / parallel.fock_sharded).
     """
-    nao = system.n_basis_cart()
-    groups = build_pair_groups(system, positions)
-    schwarz = None
-    if screening_threshold > 0:
-        from qchem_rs_tpu.ops.fock import schwarz_bounds
+    from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
 
-        # Schwarz bounds must be concrete host values (they gate which
-        # quartets exist at all). Under a trace (jitted drivers, conformer
-        # sweeps) evaluate them eagerly at the system's stored geometry —
-        # screening patterns are geometry-local and the threshold conservative
-        with jax.ensure_compile_time_eval():
-            concrete = build_pair_groups(system, None)
-            schwarz = schwarz_bounds(concrete)
-    flat = jnp.zeros(nao**4 + 1, dtype=jnp.float64)
-    for gi, g1 in enumerate(groups):
-        for g2i, g2 in enumerate(groups[gi:], start=gi):
-            same = g2 is g1
-            br, kt = _quartet_indices(g1, g2, same)
-            if schwarz is not None:
-                keep = schwarz[gi][br] * schwarz[g2i][kt] > screening_threshold
-                br, kt = br[keep], kt[keep]
-            nq = len(br)
-            if nq == 0:
-                continue
-            chunk = _chunk_size(g1, g2, chunk_budget)
-            nchunks = -(-nq // chunk)
-            npad = nchunks * chunk - nq
-            br = np.concatenate([br, np.zeros(npad, br.dtype)]).astype(np.int32)
-            kt = np.concatenate([kt, np.zeros(npad, kt.dtype)]).astype(np.int32)
-            valid = np.arange(nchunks * chunk) < nq
-            ncA, ncB = ncart(g1.la), ncart(g1.lb)
-            ncC, ncD = ncart(g2.la), ncart(g2.lb)
-            ao_i1 = jnp.asarray(g1.ao_i.astype(np.int32))
-            ao_j1 = jnp.asarray(g1.ao_j.astype(np.int32))
-            ao_i2 = jnp.asarray(g2.ao_i.astype(np.int32))
-            ao_j2 = jnp.asarray(g2.ao_j.astype(np.int32))
-            Lb, Lk = g1.L, g2.L
-
-            def body(carry, xs, g1=g1, g2=g2, Lb=Lb, Lk=Lk, ncA=ncA, ncB=ncB,
-                     ncC=ncC, ncD=ncD, ao_i1=ao_i1, ao_j1=ao_j1, ao_i2=ao_i2,
-                     ao_j2=ao_j2):
-                brc, ktc, vld = xs
-                vals = _eri_chunk_core(
-                    Lb, Lk,
-                    g1.E[brc], g1.p[brc], g1.P[brc],
-                    g2.E[ktc], g2.p[ktc], g2.P[ktc],
-                )
-                vals = vals.reshape(-1, ncA, ncB, ncC, ncD)
-                ii = ao_i1[brc][:, None, None, None, None] + jnp.arange(ncA)[None, :, None, None, None]
-                jj = ao_j1[brc][:, None, None, None, None] + jnp.arange(ncB)[None, None, :, None, None]
-                kk = ao_i2[ktc][:, None, None, None, None] + jnp.arange(ncC)[None, None, None, :, None]
-                ll = ao_j2[ktc][:, None, None, None, None] + jnp.arange(ncD)[None, None, None, None, :]
-                carry = _scatter_quartets(
-                    nao, carry, vals, ii, jj, kk, ll, vld[:, None, None, None, None]
-                )
-                return carry, None
-
-            xs = (
-                jnp.asarray(br.reshape(nchunks, chunk)),
-                jnp.asarray(kt.reshape(nchunks, chunk)),
-                jnp.asarray(valid.reshape(nchunks, chunk)),
-            )
-            flat, _ = jax.lax.scan(body, flat, xs)
-    out = flat[:-1].reshape(nao, nao, nao, nao)
-    if system.spherical:
-        T = jnp.asarray(system.sph_T)
-        out = jnp.einsum("pqrs,pi->iqrs", out, T)
-        out = jnp.einsum("iqrs,qj->ijrs", out, T)
-        out = jnp.einsum("ijrs,rk->ijks", out, T)
-        out = jnp.einsum("ijks,sl->ijkl", out, T)
-    return out
+    eng = TiledEriEngine(system, screening_threshold, positions=positions)
+    return eng.finish_eri(eng.build())
 
 
 class EriTensor:

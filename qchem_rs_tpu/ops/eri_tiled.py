@@ -1,0 +1,446 @@
+"""Tiled pair-space ERI engine: scatter-free in-core integrals.
+
+Replaces the quartet-scatter in-core assembly (the round-1 design). Profiling
+showed the old path spent ~99% of its time NOT in integral arithmetic but in
+16-image scatter-adds into the (nao^4) scan carry — uniformly 1-8K quartets/s
+across classes whose arithmetic differs by 100x, vs 30M+ quartets/s for the
+bare compute kernel.
+
+TPU-first design (three ideas):
+
+1. **Pair-space ERI matrix.** All unique AO pairs get a flat index; the
+   two-electron integrals form the symmetric matrix
+   ``V2[(P,ab), (Q,cd)] = (ab|cd)``, assembled class-block by class-block.
+   The dense n^4 tensor (or the RHF ``(ij|kl) - 1/2 (ik|jl)`` operator) is
+   then TWO large row/column gathers from V2 — no scatters anywhere.
+
+2. **Dense grid tiles, not quartet lists.** Each (bra class, ket class)
+   program scans over (bra-pair tile x ket-pair tile) grid cells, Schwarz-
+   screened at tile granularity on the host. Tiles are contiguous pair
+   ranges, so ALL device data movement is dynamic_slice in /
+   dynamic_update_slice out — the in-place-friendly ops XLA handles without
+   copying the carry.
+
+3. **Quartet-minor layouts.** Every large intermediate keeps the two tile
+   axes (T1, T2) minormost with T2 = 128 lanes, so nothing hits the
+   (8,128)-tile padding blowup that f64-emulated tensors with small trailing
+   dims suffer (measured 20-64x memory inflation in the round-1 kernel).
+
+Reference parity: this produces the same molint::eri surface
+(/root/reference/core/src/hf/rhf.rs:45, uhf.rs:55) — a dense chemists'
+(ij|kl) tensor — plus the pair-space form the reference has no analogue of.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qchem_rs_tpu.ops.angular import ncart
+from qchem_rs_tpu.ops.boys import boys
+from qchem_rs_tpu.ops.eri import PairGroup, _r2m_plan, build_pair_groups
+from qchem_rs_tpu.ops.mcmurchie import _r_plan, hermite_components, nhermite
+from qchem_rs_tpu.utils.system import MolecularSystem
+
+#: HBM budget (bytes) for the dominant per-tile intermediate chain
+TILE_BYTES_BUDGET = int(os.environ.get("QCHEM_TILE_BUDGET", 1 << 29))
+
+def _align_pairs_128() -> bool:
+    """Pad every class's pair count to a multiple of 128 so ALL tile updates
+    are lane-aligned. On the TPU backend small/unaligned f64
+    dynamic_update_slices miscompile (round-1 precedent: non-1024-multiple
+    quartet chunks device-faulted); on CPU the padding is pure waste for
+    small classes (a 1-pair ff class would inflate 128x), so align only on
+    accelerators. QCHEM_ALIGN128=0/1 overrides for A/B debugging."""
+    env = os.environ.get("QCHEM_ALIGN128")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+#: donate the V2 carry across the per-class-pair programs (saves one (M, M)
+#: copy per program; disable if the backend mishandles donation)
+DONATE_CARRY = os.environ.get("QCHEM_DONATE", "1") == "1"
+
+
+def _pow2_floor(x: int) -> int:
+    return 1 << max(0, int(x).bit_length() - 1)
+
+
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+def _r_table_tiles(L: int, p, PCx, PCy, PCz):
+    """Hermite Coulomb integrals R_{tuv}, Hermite axis LEADING, over tile
+    batch shape B = (a, c, T1, T2) given componentwise PC arrays.
+
+    Same vectorized downward recursion as mcmurchie.r_table_leading, but the
+    3-vector axis never exists as a trailing dim (it would tile-pad); PC
+    components arrive as three separate B-shaped arrays.
+    """
+    T = p * (PCx * PCx + PCy * PCy + PCz * PCz)
+    F = boys(L, T)  # (L+1,) + B
+    m2p = -2.0 * p
+    base = []
+    acc = jnp.ones_like(p)
+    for n in range(L + 1):
+        base.append(acc * F[n])
+        acc = acc * m2p
+
+    onehot, idx1, idx2, coef = _r_plan(L)
+    H = len(hermite_components(L))
+    extra = (1,) * p.ndim
+    ox, oy, oz = (jnp.asarray(onehot[:, d]).reshape((H,) + extra) for d in range(3))
+    PCs = ox * PCx[None] + oy * PCy[None] + oz * PCz[None]  # (H,) + B
+    coef = jnp.asarray(coef).reshape((H,) + extra)
+    idx1 = jnp.asarray(idx1)
+    idx2 = jnp.asarray(idx2)
+
+    R = jnp.zeros((H,) + p.shape, dtype=PCs.dtype).at[0].set(base[L])
+    for n in range(L - 1, -1, -1):
+        R = PCs * R[idx1] + coef * R[idx2]
+        R = R.at[0].set(base[n])
+    return R
+
+
+def _tile_vals(Lb: int, Lk: int, E1, p1, P1, E2, p2, P2):
+    """One grid tile: (T1 bra pairs) x (T2 ket pairs) -> (T1*A, T2*C) block.
+
+    E1 (T1, a, A, S1), p1 (T1, a), P1 (T1, a, 3); ket analogous. All heavy
+    intermediates are laid out (.., T1, T2)-minor; the two contractions are
+    batched dot_generals whose operand copies stay at logical size.
+    """
+    T1, a, A, S1 = E1.shape
+    T2, c, C, S2 = E2.shape
+    p1t = p1.T  # (a, T1)
+    p2t = p2.T  # (c, T2)
+    ps = p1t[:, None, :, None] + p2t[None, :, None, :]  # (a, c, T1, T2)
+    pq = p1t[:, None, :, None] * p2t[None, :, None, :]
+    alpha = pq / ps
+    P1t = P1.transpose(2, 1, 0)  # (3, a, T1)
+    P2t = P2.transpose(2, 1, 0)  # (3, c, T2)
+    PQ = [P1t[d][:, None, :, None] - P2t[d][None, :, None, :] for d in range(3)]
+    R = _r_table_tiles(Lb + Lk, alpha, *PQ)  # (H, a, c, T1, T2)
+    pref = 2.0 * jnp.pi**2.5 / (pq * jnp.sqrt(ps))
+    R = R * pref[None]
+
+    h_arr, ac_arr, sign_m = _r2m_plan(Lb, Lk, a, c)
+    H = R.shape[0]
+    Rf = R.reshape(H, a * c, T1, T2)
+    # (a*S1, c*S2, T1, T2) fused quartet-contraction tensor
+    R2m = Rf[jnp.asarray(h_arr), jnp.asarray(ac_arr)]
+    R2m = R2m * jnp.asarray(sign_m)[None, :, None, None]
+
+    E1m = E1.transpose(1, 3, 2, 0).reshape(a * S1, A, T1)
+    E2m = E2.transpose(1, 3, 2, 0).reshape(c * S2, C, T2)
+    # contract (a*S1), batch T1: -> (T1, c*S2, T2, A)
+    t1 = jax.lax.dot_general(
+        R2m, E1m, (((0,), (0,)), ((2,), (2,))), preferred_element_type=R2m.dtype
+    )
+    # contract (c*S2), batch T2: -> (T2, T1, A, C)
+    out = jax.lax.dot_general(
+        t1, E2m, (((1,), (0,)), ((2,), (2,))), preferred_element_type=R2m.dtype
+    )
+    return out.transpose(1, 2, 0, 3).reshape(T1 * A, T2 * C)
+
+
+@dataclasses.dataclass
+class _ClassMeta:
+    """Host-side layout of one (la, lb) pair class inside V2."""
+
+    la: int
+    lb: int
+    A: int  # ncart(la) * ncart(lb) components per pair
+    npairs: int
+    npad: int  # padded pair count (tile multiple)
+    row_base: int  # first V2 row of this class
+    a: int  # padded primitive-pair count
+
+
+def pad_group(g: PairGroup, npad: int):
+    """Pad a PairGroup's per-pair device arrays to npad pairs (E=0 so padded
+    pairs contribute exactly zero; p=1/P=0 keep the math NaN-free)."""
+    n = g.npairs
+    pad = npad - n
+    if pad == 0:
+        return g.E, g.p, g.P
+    E = jnp.concatenate([g.E, jnp.zeros((pad,) + g.E.shape[1:], g.E.dtype)])
+    p = jnp.concatenate([g.p, jnp.ones((pad,) + g.p.shape[1:], g.p.dtype)])
+    P = jnp.concatenate([g.P, jnp.zeros((pad,) + g.P.shape[1:], g.P.dtype)])
+    return E, p, P
+
+
+class PairSpaceLayout:
+    """Host bookkeeping: class order, V2 row bases, AO-pair -> V2-row map."""
+
+    def __init__(self, system: MolecularSystem, groups: list[PairGroup]):
+        self.groups = groups
+        self.metas: list[_ClassMeta] = []
+        row = 0
+        for g in groups:
+            A = ncart(g.la) * ncart(g.lb)
+            if _align_pairs_128():
+                npad = 128 * (-(-g.npairs // 128))
+            else:
+                npad = 128 * (-(-g.npairs // 128)) if g.npairs > 96 else _pow2_ceil(max(g.npairs, 8))
+            self.metas.append(
+                _ClassMeta(
+                    la=g.la, lb=g.lb, A=A, npairs=g.npairs, npad=npad,
+                    row_base=row, a=g.p.shape[1],
+                )
+            )
+            row += npad * A
+        self.M = row
+
+        nao = system.n_basis_cart()
+        pmap = np.full((nao, nao), -1, dtype=np.int32)
+        for g, m in zip(groups, self.metas):
+            ncA, ncB = ncart(g.la), ncart(g.lb)
+            for k in range(g.npairs):
+                base = m.row_base + k * m.A
+                ii = g.ao_i[k] + np.arange(ncA)
+                jj = g.ao_j[k] + np.arange(ncB)
+                rows = base + (np.arange(ncA)[:, None] * ncB + np.arange(ncB)[None, :])
+                pmap[ii[:, None], jj[None, :]] = rows
+                pmap[jj[None, :], ii[:, None]] = rows  # (ji| == (ij|
+        assert (pmap >= 0).all(), "AO pair map has holes"
+        self.pmap = pmap.reshape(-1)  # (nao^2,)
+
+
+def _tile_shapes(m1: _ClassMeta, m2: _ClassMeta) -> tuple[int, int]:
+    """(T1, T2) pair-tile sizes for a class pair, budgeted so the dominant
+    (H, a, c, T1, T2) intermediates stay under TILE_BYTES_BUDGET."""
+    L = m1.la + m1.lb + m2.la + m2.lb
+    H = nhermite(L)
+    S1 = nhermite(m1.la + m1.lb)
+    S2 = nhermite(m2.la + m2.lb)
+    width = max(2 * H, S1 * S2, m1.A * S1 // max(m1.a, 1) + 1)
+    T2 = min(128, m2.npad)
+    per_t1 = m1.a * m2.a * T2 * width * 8
+    T1 = _pow2_floor(max(8, TILE_BYTES_BUDGET // max(per_t1, 1)))
+    # cap at 128: T1 must divide npad (a 128-multiple), else the tile grid
+    # would silently drop the last partial block of pairs
+    T1 = min(T1, m1.npad, 128)
+    return T1, T2
+
+
+def _tile_list(
+    m1: _ClassMeta,
+    m2: _ClassMeta,
+    T1: int,
+    T2: int,
+    bound1: np.ndarray | None,
+    bound2: np.ndarray | None,
+    threshold: float,
+    same: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host: Schwarz-screened (ti, tj) pair-offset lists for the tile grid."""
+    nb1 = m1.npad // T1
+    nb2 = m2.npad // T2
+    keep_i, keep_j = [], []
+    if bound1 is not None:
+        b1 = np.zeros(m1.npad)
+        b1[: m1.npairs] = bound1
+        tmax1 = b1.reshape(nb1, T1).max(axis=1)
+        b2 = np.zeros(m2.npad)
+        b2[: m2.npairs] = bound2
+        tmax2 = b2.reshape(nb2, T2).max(axis=1)
+    else:
+        tmax1 = np.ones(nb1)
+        tmax2 = np.ones(nb2)
+    for i in range(nb1):
+        if i * T1 >= m1.npairs:
+            break
+        for j in range(nb2):
+            if j * T2 >= m2.npairs:
+                break
+            if same and (j + 1) * T2 <= i * T1:
+                continue  # strictly below the diagonal: mirrored later
+            if bound1 is not None and tmax1[i] * tmax2[j] <= threshold:
+                continue
+            keep_i.append(i * T1)
+            keep_j.append(j * T2)
+    return np.asarray(keep_i, np.int32), np.asarray(keep_j, np.int32)
+
+
+class TiledEriEngine:
+    """Builds the pair-space ERI matrix V2 and its dense expansions.
+
+    Usage (modular, precompilable — mirrors the old TermsAssembler API):
+
+        eng = TiledEriEngine(system, threshold)
+        programs = eng.programs()          # [(name, jitted_fn, abstract args)]
+        V2 = eng.build()                   # runs the per-class-pair scans
+        terms = eng.finish_terms(V2)       # (n^2, n^2) RHF operator
+        e4 = eng.finish_eri(V2)            # (n,n,n,n) chemists' tensor
+
+    Fully traceable variant for conformer sweeps: ``v2_traced(positions)``.
+    """
+
+    def __init__(
+        self,
+        system: MolecularSystem,
+        screening_threshold: float = 0.0,
+        positions=None,
+    ):
+        self.system = system
+        self.nao = system.n_basis_cart()
+        groups = build_pair_groups(system, positions)
+        self.layout = PairSpaceLayout(system, groups)
+        bounds = None
+        if screening_threshold > 0:
+            from qchem_rs_tpu.ops.fock import schwarz_bounds
+
+            with jax.ensure_compile_time_eval():
+                concrete = (
+                    groups if positions is None else build_pair_groups(system, None)
+                )
+                bounds = schwarz_bounds(concrete)
+        self.threshold = screening_threshold
+
+        metas = self.layout.metas
+        self._padded = [pad_group(g, m.npad) for g, m in zip(groups, metas)]
+        self._tasks = []  # (name, fn, xs, donate) per class pair
+        for i1, m1 in enumerate(metas):
+            for i2 in range(i1, len(metas)):
+                m2 = metas[i2]
+                T1, T2 = _tile_shapes(m1, m2)
+                ti, tj = _tile_list(
+                    m1, m2, T1, T2,
+                    None if bounds is None else bounds[i1],
+                    None if bounds is None else bounds[i2],
+                    self.threshold, same=(i2 == i1),
+                )
+                if len(ti) == 0:
+                    continue
+                self._tasks.append(self._make_task(i1, i2, m1, m2, T1, T2, ti, tj))
+
+    def _make_task(self, i1, i2, m1, m2, T1, T2, ti, tj):
+        A, C = m1.A, m2.A
+        rb, cb = m1.row_base, m2.row_base
+        Lb, Lk = m1.la + m1.lb, m2.la + m2.lb
+
+        # the pair tensors are RUNTIME arguments, not closure constants:
+        # constant operands make XLA constant-fold large chunks of the tile
+        # computation at compile time (minutes per program), and would bake
+        # the geometry into the executable (conformer sweeps would recompile
+        # per geometry)
+        def block_program(V2, xs, E1, p1, P1, E2, p2, P2):
+            def body(carry, x):
+                ti, tj = x
+                zero = jnp.zeros((), ti.dtype)
+                sl = lambda arr, t, T: jax.lax.dynamic_slice(
+                    arr, (t,) + (zero,) * (arr.ndim - 1), (T,) + arr.shape[1:]
+                )
+                vals = _tile_vals(
+                    Lb, Lk,
+                    sl(E1, ti, T1), sl(p1, ti, T1), sl(P1, ti, T1),
+                    sl(E2, tj, T2), sl(p2, tj, T2), sl(P2, tj, T2),
+                )
+                carry = jax.lax.dynamic_update_slice(
+                    carry, vals, (rb + ti * A, cb + tj * C)
+                )
+                return carry, None
+
+            V2, _ = jax.lax.scan(body, V2, xs)
+            return V2
+
+        xs = (jnp.asarray(ti), jnp.asarray(tj))
+        args = (xs,) + self._padded[i1] + self._padded[i2]
+        return (
+            f"v2_{m1.la}{m1.lb}_{m2.la}{m2.lb}",
+            jax.jit(block_program, donate_argnums=(0,) if DONATE_CARRY else ()),
+            args,
+        )
+
+    # --- program list for thread-parallel precompilation -------------------
+
+    def programs(self):
+        M = self.layout.M
+        v2_spec = jax.ShapeDtypeStruct((M, M), jnp.float64)
+        out = []
+        for name, fn, args in self._tasks:
+            spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
+            out.append((name, fn, (v2_spec,) + spec))
+        out.append(("finish_terms", self._finish_terms_jit, (v2_spec,)))
+        return out
+
+    def build(self) -> jax.Array:
+        """Run all class-pair tile scans; returns V2 (upper blocks valid)."""
+        compiled = getattr(self, "_compiled", {})
+        M = self.layout.M
+        V2 = jnp.zeros((M, M), dtype=jnp.float64)
+        for name, fn, args in self._tasks:
+            V2 = compiled.get(name, fn)(V2, *args)
+        return V2
+
+    def v2_traced(self, positions) -> jax.Array:
+        """Traceable V2 build at traced positions (conformer sweeps). Shares
+        the host tile lists (screened at the stored geometry)."""
+        eng = TiledEriEngine(self.system, self.threshold, positions=positions)
+        return eng.build()
+
+    # --- expansions ---------------------------------------------------------
+
+    def _mirror(self, V2):
+        M = self.layout.M
+        r = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+        return jnp.where(r > c, V2.T, V2)
+
+    def _expand_e4(self, V2):
+        """(nao, nao, nao, nao) chemists' tensor by two gathers from V2."""
+        nao = self.nao
+        pmap = jnp.asarray(self.layout.pmap)
+        V2f = self._mirror(V2)
+        rows = jnp.take(V2f, pmap, axis=0)  # (nao^2, M)
+        e4 = jnp.take(rows, pmap, axis=1)  # (nao^2, nao^2)
+        return e4.reshape(nao, nao, nao, nao)
+
+    def _spherical(self, out):
+        T = jnp.asarray(self.system.sph_T)
+        out = jnp.einsum("pqrs,pi->iqrs", out, T)
+        out = jnp.einsum("iqrs,qj->ijrs", out, T)
+        out = jnp.einsum("ijrs,rk->ijks", out, T)
+        return jnp.einsum("ijks,sl->ijkl", out, T)
+
+    def finish_eri(self, V2) -> jax.Array:
+        fn = getattr(self, "_compiled", {}).get("finish_eri", self._finish_eri_jit)
+        return fn(V2)
+
+    def finish_terms(self, V2) -> jax.Array:
+        """(n^2, n^2) operator terms[ij,kl] = (ij|kl) - 1/2 (ik|jl)
+        (rhf.rs:58-62) via gathers — no scatter, no extra n^4 copy."""
+        fn = getattr(self, "_compiled", {}).get("finish_terms", self._finish_terms_jit)
+        return fn(V2)
+
+    @property
+    def _finish_eri_jit(self):
+        if not hasattr(self, "_fe_jit"):
+            def fe(V2):
+                e4 = self._expand_e4(V2)
+                if self.system.spherical:
+                    e4 = self._spherical(e4)
+                return e4
+
+            self._fe_jit = jax.jit(fe)
+        return self._fe_jit
+
+    @property
+    def _finish_terms_jit(self):
+        if not hasattr(self, "_ft_jit"):
+            def ft(V2):
+                e4 = self._expand_e4(V2)
+                if self.system.spherical:
+                    e4 = self._spherical(e4)
+                ns = e4.shape[0]
+                terms = e4 - 0.5 * e4.transpose(0, 2, 1, 3)
+                return terms.reshape(ns * ns, ns * ns)
+
+            self._ft_jit = jax.jit(ft)
+        return self._ft_jit

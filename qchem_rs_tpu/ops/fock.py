@@ -221,72 +221,16 @@ def eri_terms(
     system: MolecularSystem,
     positions=None,
     screening_threshold: float = 0.0,
-    chunk_quartets: int = 4096,
 ) -> jnp.ndarray:
     """The RHF operator tensor terms[i,j,k,l] = (ij|kl) - 1/2 (ik|jl)
-    (rhf.rs:58-62) built **directly** with one (nao^4 + 1) buffer.
+    (rhf.rs:58-62) via the scatter-free tiled pair-space engine
+    (ops/eri_tiled.py). Traceable in ``positions`` for conformer sweeps."""
+    from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
 
-    Building E4 and then transposing doubles peak HBM (what crashed
-    benzene/cc-pVDZ on a 16 GB chip); here every screened unique quartet
-    scatter-ADDs its 8 Coulomb images (+w v at [w,x,y,z]) and 8 exchange
-    images (-w/2 v at [w,y,x,z]) with the same coincidence weights as the
-    direct J/K build, so the buffer is written once, in place, inside the
-    scan carry.
-    """
-    nao = system.n_basis_cart()
-    with jax.ensure_compile_time_eval():
-        groups = build_pair_groups(system, None)
-        schwarz = schwarz_bounds(groups) if screening_threshold > 0 else None
-    if positions is not None:
-        groups = build_pair_groups(system, positions)
-    blocks = screened_quartets(groups, schwarz, screening_threshold, chunk_multiple=1)
-
-    flat = jnp.zeros(nao**4 + 1, dtype=jnp.float64)
-    for blk in blocks:
-        g1, g2 = groups[blk.g1], groups[blk.g2]
-        ncA, ncB = ncart(g1.la), ncart(g1.lb)
-        ncC, ncD = ncart(g2.la), ncart(g2.lb)
-        xs = block_chunks(blk, g1, g2, cap=chunk_quartets)
-
-        def body(carry, x, g1=g1, g2=g2, ncA=ncA, ncB=ncB, ncC=ncC, ncD=ncD):
-            br, kt, w = x
-            args = _gather_block_args(g1, g2, br, kt, w)
-            vals = _eri_chunk_core(
-                g1.L, g2.L, args["E1"], args["p1"], args["P1"],
-                args["E2"], args["p2"], args["P2"],
-            )
-            n = vals.shape[0]
-            vals = vals.reshape(n, ncA, ncB, ncC, ncD) * w[:, None, None, None, None]
-            shape = vals.shape
-            b_ = lambda q: jnp.broadcast_to(q, shape).ravel()
-            ii = b_(args["ii"][:, :, None, None, None])
-            jj = b_(args["jj"][:, None, :, None, None])
-            kk = b_(args["kk"][:, None, None, :, None])
-            ll = b_(args["ll"][:, None, None, None, :])
-            v = vals.ravel()
-            # fused single scatter-add over all 16 symmetry images
-            # (8 Coulomb +v at [a,b,c,d]; 8 exchange -v/2 at [a,c,b,d])
-            idxs, vs = [], []
-            for (a_, b2, c_, d_) in (
-                (ii, jj, kk, ll), (jj, ii, kk, ll), (ii, jj, ll, kk), (jj, ii, ll, kk),
-                (kk, ll, ii, jj), (ll, kk, ii, jj), (kk, ll, jj, ii), (ll, kk, jj, ii),
-            ):
-                idxs.append(((a_ * nao + b2) * nao + c_) * nao + d_)
-                vs.append(v)
-                idxs.append(((a_ * nao + c_) * nao + b2) * nao + d_)
-                vs.append(-0.5 * v)
-            carry = carry.at[jnp.concatenate(idxs)].add(jnp.concatenate(vs))
-            return carry, None
-
-        flat, _ = jax.lax.scan(body, flat, xs)
-    out = flat[:-1].reshape(nao, nao, nao, nao)
-    if system.spherical:
-        T = jnp.asarray(system.sph_T)
-        out = jnp.einsum("pqrs,pi->iqrs", out, T)
-        out = jnp.einsum("iqrs,qj->ijrs", out, T)
-        out = jnp.einsum("ijrs,rk->ijks", out, T)
-        out = jnp.einsum("ijks,sl->ijkl", out, T)
-    return out
+    nao = system.n_basis()
+    eng = TiledEriEngine(system, screening_threshold, positions=positions)
+    terms = eng.finish_terms(eng.build())
+    return terms.reshape(nao, nao, nao, nao)
 
 
 class DirectFockBuilder:

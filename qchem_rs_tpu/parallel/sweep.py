@@ -99,3 +99,30 @@ def conformer_sweep(
         np.asarray(energies)[:nconf],
         np.asarray(converged)[:nconf],
     )
+
+
+def chained_sweep(
+    system: MolecularSystem,
+    geometries: np.ndarray,
+    config: HartreeFockConfig | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential conformer sweep with warm-start chaining: each geometry's
+    SCF starts from the previous converged density instead of the Hückel
+    guess (SURVEY.md §5 checkpoint/resume row). For correlated geometries
+    (reaction paths) this typically halves the iteration count; the batched
+    ``conformer_sweep`` is the throughput mode for independent conformers.
+    """
+    from qchem_rs_tpu.models.rhf import restricted_hartree_fock
+
+    config = config or HartreeFockConfig()
+    energies, converged = [], []
+    guess = None
+    for pos in np.asarray(geometries, dtype=np.float64):
+        out = restricted_hartree_fock(
+            system.with_positions(pos), config, density_guess=guess
+        )
+        energies.append(out.total_energy())
+        converged.append(out.converged)
+        if out.converged:
+            guess = out.density
+    return np.asarray(energies), np.asarray(converged)

@@ -22,7 +22,7 @@ def test_ssss_closed_form():
     np.testing.assert_allclose(v, want, rtol=1e-14)
 
 
-@pytest.mark.parametrize("lmax,seed", [(1, 1), (2, 2)], ids=["sp", "spd"])
+@pytest.mark.parametrize("lmax,seed", [(1, 1), (2, 2), (3, 3)], ids=["sp", "spd", "spdf"])
 def test_eri_vs_os(lmax, seed):
     system = make_synthetic_system(lmax=lmax, seed=seed)
     got = np.asarray(eri(system))

@@ -30,6 +30,15 @@ def test_water_sto3g_vs_independent_numpy_scf():
     np.testing.assert_allclose(out.orbital_energies, w_np, atol=1e-7)
 
 
+def test_methane_631g_literature():
+    # CH4 RHF/6-31G (BASELINE config "methane/6-31G RHF+DIIS"):
+    # literature E_HF = -40.1805 Eh at the standard geometry.
+    system = load_reference_system("methane", "6-31G")
+    out = restricted_hartree_fock(system, HartreeFockConfig(epsilon=1e-8, max_iterations=200))
+    assert out.converged
+    assert abs(out.total_energy() - (-40.1805)) < 1e-3
+
+
 def test_energy_stability_under_epsilon():
     # tightening convergence must not change the converged energy (fixed point)
     system = load_reference_system("hydrogen", "STO-3G")

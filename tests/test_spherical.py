@@ -39,8 +39,9 @@ def test_water_ccpvdz_spherical_vs_literature():
     cfg = HartreeFockConfig(epsilon=1e-9, max_iterations=200)
     e_sph = restricted_hartree_fock(sph, cfg).total_energy()
     e_cart = restricted_hartree_fock(cart, cfg).total_energy()
-    # literature RHF/cc-pVDZ (spherical) water ~ -76.0268 at this geometry
-    assert abs(e_sph - (-76.0268)) < 5e-3
+    # literature RHF/cc-pVDZ (spherical) water = -76.02680 at this geometry;
+    # with the published Dunning contractions we land within ~1 uEh
+    assert abs(e_sph - (-76.02680)) < 1e-4
     # cartesian basis is strictly larger -> variationally lower energy
     assert e_cart < e_sph
     assert e_sph - e_cart < 2e-3
