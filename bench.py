@@ -52,7 +52,27 @@ CONFIGS = [
     ("benzene", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_benzene_ccpvdz"),
     ("benzene", os.path.join(ROOT, "data", "basis", "6-31G.json"), "rhf_benzene_631g"),
     ("water", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_water_ccpvdz"),
+    # BASELINE config 5 (opt-in via QCHEM_BENCH_ONLY=rhf_naphthalene_direct):
+    # naphthalene/cc-pVDZ integral-direct — no n^4 ERI tensor in HBM
+    ("naphthalene", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_naphthalene_direct"),
 ]
+
+
+def _eri_gflops(engine) -> float | None:
+    """Total compiled FLOPs of one V2 build (sum over the per-class-pair
+    tile-scan executables' XLA cost analysis); None when unavailable."""
+    total = 0.0
+    for name, ex in (getattr(engine, "_compiled", None) or {}).items():
+        if not name.startswith("v2_"):
+            continue
+        try:
+            ca = ex.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            total += float(ca.get("flops", 0.0))
+        except Exception:
+            return None
+    return total / 1e9 if total > 0 else None
 
 
 def main():
@@ -106,6 +126,10 @@ def run_configs(configs):
       # the remote compile helper crashes sporadically; one retry per config
       for attempt in range(2):
         try:
+            import dataclasses
+
+            if tag.endswith("_direct"):
+                cfg = dataclasses.replace(cfg, fock_mode="direct")
             basis = BasisSet.load(basis_path)
             system = MolecularSystem.load(os.path.join(ROOT, "data", "mol", f"{mol}.json"), basis)
             import signal
@@ -120,7 +144,8 @@ def run_configs(configs):
             signal.alarm(int(budget))
             t0 = time.perf_counter()
             try:
-                precompile_rhf(system, cfg)
+                if cfg.fock_mode == "incore":
+                    precompile_rhf(system, cfg)
             finally:
                 signal.alarm(0)
             precompile_s = time.perf_counter() - t0
@@ -130,6 +155,13 @@ def run_configs(configs):
                 continue
             out2, warm = run_once(system, cfg)
             gflops = None
+            eri_s = out2.timings.get("eri_s")
+            if eri_s and cfg.fock_mode == "incore":
+                from qchem_rs_tpu.models.rhf import _incore_tools
+
+                gf = _eri_gflops(_incore_tools(system, cfg)[1])
+                if gf:
+                    gflops = round(gf / eri_s, 2)
             result = {
                 "metric": f"time_to_converged_scf_{tag}",
                 "value": round(warm, 3),

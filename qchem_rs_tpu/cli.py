@@ -40,9 +40,10 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
         )
     p.add_argument(
         "--convergence",
-        choices=["diag_rms", "full_rms"],
+        choices=["diag_rms", "full_rms", "energy"],
         default="diag_rms",
-        help="convergence metric (diag_rms matches the reference quirk)",
+        help="convergence metric (diag_rms matches the reference quirk; "
+        "energy stops on |dE| < epsilon in Hartree)",
     )
     p.add_argument("--mixing", type=float, default=1.0, help="density mixing factor (1.0 = no damping)")
     p.add_argument(

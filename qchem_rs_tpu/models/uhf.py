@@ -100,12 +100,17 @@ def _uhf_loop(
         d_change = D_new - D
         D = D + mixing * d_change
         energy = 0.5 * jnp.sum(D * (2.0 * H[None] + G))  # uhf.rs:145-153
-        per_spin_rms = scf.density_rms(d_change, metric)  # (2,)
-        if metric == "diag_rms":
+        if metric == "energy":
+            # |dE| < eps — see models/rhf.py (the "1e-8 Eh" criterion)
+            rms = jnp.abs(energy - st.energy)
+            conv = rms < epsilon
+        elif metric == "diag_rms":
+            per_spin_rms = scf.density_rms(d_change, metric)  # (2,)
             # uhf.rs:137-139: average over spins, then halve AGAIN in the test
             rms = jnp.sum(per_spin_rms) / 2.0
             conv = rms / 2.0 < epsilon
         else:
+            per_spin_rms = scf.density_rms(d_change, metric)
             rms = jnp.mean(per_spin_rms)
             conv = rms < epsilon
         if verbose:  # uhf.rs:138 log::info! analogue

@@ -16,16 +16,12 @@ tests/test_boys.py). Max order needed: 4*l_max = 16 for (gg|gg) ERI classes.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_T_SWITCH = 35.0
+_T_SWITCH = 35.0  # boys_series small/large switch (reference impl only)
 _SERIES_TERMS = 170
-_DT = 0.05  # Taylor table spacing
-_NTAYLOR = 7  # Taylor order; err ~ (dT/2)^7/7! ~ 1e-15
 
 
 def boys_series(mmax: int, T: jax.Array) -> jax.Array:
@@ -63,67 +59,81 @@ def boys_series(mmax: int, T: jax.Array) -> jax.Array:
     )
 
 
-@lru_cache(maxsize=None)
-def _taylor_table(mrows: int) -> np.ndarray:
-    """F_m(T_i) on the grid T_i = i * _DT, i = 0.._T_SWITCH/_DT, for
-    m = 0..mrows-1 — built once on host with the numpy series."""
-    grid = np.arange(int(round(_T_SWITCH / _DT)) + 1) * _DT
-    mtop = mrows - 1
-    # series at mtop (float64 host), then downward recursion
-    term = np.full_like(grid, 1.0 / (2 * mtop + 1))
-    acc = term.copy()
-    for i in range(300):
-        term = term * (2.0 * grid) / (2.0 * mtop + 2.0 * i + 3.0)
-        acc += term
-    out = np.empty((mrows, grid.size))
-    e = np.exp(-grid)
-    out[mtop] = e * acc
-    for m in range(mtop, 0, -1):
-        out[m - 1] = (2.0 * grid * out[m] + e) / (2.0 * m - 1.0)
-    return out
+def _series_n(mmax: int) -> int:
+    """Series length for the small-T Kummer branch of boys(). The branch only
+    evaluates at T <= mmax + 1.5, where term ratios 2T/(2 mmax + 2i + 3)
+    start below 1 and decay; 2 mmax + 40 terms bounds the relative tail
+    under ~1e-17 for every order used here (validated against the
+    quadrature oracle in tests/test_boys.py)."""
+    return 2 * mmax + 40
 
 
 def boys(mmax: int, T: jax.Array) -> jax.Array:
     """Boys functions F_0..F_mmax at T (elementwise), shape (mmax+1,) + T.shape.
 
-    Fast path: tabulated Taylor expansion with spacing _DT and _NTAYLOR terms
-    (F'_m = -F_{m+1}, so the derivatives come from higher-m table rows):
-        F_m(T) = sum_k F_{m+k}(T_i) (T_i - T)^k / k!
-    ~10 fused ops instead of the ~400-op series loop — this was the dominant
-    runtime cost of the ERI kernels (like GSL was 14.3% of the reference's
-    profile, SURVEY.md §6). Large T uses the asymptotic + upward recursion.
+    GATHER-FREE by construction — every op is fused elementwise VPU math:
+
+    - ``F_0(T) = 1/2 sqrt(pi/T) erf(sqrt T)`` exactly, at every T (the
+      expression is cancellation-free down to T -> 0, where erf(x)/x -> 2/pi^.5).
+    - m >= 1, T > mmax + 1.5: upward recursion from F_0 (error factor
+      (2m+1)/(2T) < 1 per step — contracting in this range).
+    - m >= 1, T <= mmax + 1.5: Kummer series at m = mmax then exact downward
+      recursion (always stable).
+
+    A previous revision interpolated a tabulated grid; the 7 per-element
+    table gathers lowered catastrophically on TPU (measured 2.8 s for a 27M
+    point batch — ~100% of ERI kernel runtime; this version removes them).
     """
     T = jnp.asarray(T, dtype=jnp.float64)
-    table = _taylor_table(mmax + _NTAYLOR)
-    Tsmall = jnp.minimum(T, _T_SWITCH)
-    i = jnp.clip(jnp.round(Tsmall / _DT).astype(jnp.int32), 0, table.shape[1] - 1)
-    d = i * _DT - Tsmall  # (T_i - T)
+    # NOTE the clamp must stay within the f32 EXPONENT range: TPU "f64" is
+    # double-float emulation whose dynamic range is float32's (~1e+-38), so
+    # pi/1e-300 would overflow to inf there (-> NaN at screened/padded T=0
+    # points). 1e-30 keeps pi/Tc ~ 3e30 representable. The emulated sqrt and
+    # erf both lose ~2^-29 relative at such extreme arguments (measured), so
+    # a 7-term Taylor covers T < 0.01 instead:
+    #   F_0(T) = sum_k (-T)^k / (k! (2k+1)),  |tail| < T^7/75600 < 2e-19.
+    tiny = jnp.asarray(1e-30, T.dtype)
+    Tc = jnp.maximum(T, tiny)
+    F0 = 0.5 * jnp.sqrt(jnp.pi / Tc) * jax.lax.erf(jnp.sqrt(Tc))
+    import math
+
+    coef = [1.0 / (math.factorial(k) * (2 * k + 1)) for k in range(7)]
+    f0_taylor = coef[6]
+    for k in range(5, -1, -1):
+        f0_taylor = coef[k] - T * f0_taylor
+    F0 = jnp.where(T < 0.01, f0_taylor, F0)
+    if mmax == 0:
+        return F0[None]
+
+    switch = mmax + 1.5
     expT = jnp.exp(-T)
-    # one 1D gather per table row: g[j] = F_j(T_i). (A single 2D gather
-    # materializes with the small row axis minormost, which tile-pads to 128
-    # on TPU — measured 12.8 GB for a 1.5 GB logical tensor.) Only the 7
-    # rows for m = mmax are gathered; lower orders come from the stable
-    # downward recursion F_{m-1} = (2T F_m + e^-T)/(2m-1), which is cheaper
-    # than 7-term Taylor per order.
-    g = [jnp.asarray(table[mmax + j])[i] for j in range(_NTAYLOR)]
-    # Horner in d: F_mmax = g[0] + d (g[1] + d/2 (g[2] + d/3 (...)))
-    acc = g[_NTAYLOR - 1]
-    for k in range(_NTAYLOR - 1, 0, -1):
-        acc = g[k - 1] + d * acc / k
-    fs_small = [acc]
-    for m in range(mmax, 0, -1):
-        fs_small.append((2.0 * Tsmall * fs_small[-1] + expT) / (2.0 * m - 1.0))
-    fs_small = fs_small[::-1]  # F_0 .. F_mmax
-    Tbig = jnp.maximum(T, _T_SWITCH)
-    f0_big = 0.5 * jnp.sqrt(jnp.pi / Tbig)  # erf(sqrt(T)) == 1 to 7e-17 here
-    fs_big = [f0_big]
+
+    # upward branch (evaluated everywhere, selected where T > switch)
+    Tbig = jnp.maximum(T, switch)
+    fs_big = [F0]
     for m in range(mmax):
         fs_big.append(((2.0 * m + 1.0) * fs_big[-1] - expT) / (2.0 * Tbig))
 
-    use_small = T < _T_SWITCH
-    return jnp.stack(
-        [jnp.where(use_small, s, b) for s, b in zip(fs_small, fs_big)], axis=0
-    )
+    # series at mmax + downward recursion (selected where T <= switch)
+    Tsm = jnp.minimum(T, switch)
+
+    def series_step(i, carry):
+        term, acc = carry
+        term = term * (2.0 * Tsm) / (2.0 * mmax + 2.0 * i + 3.0)
+        return term, acc + term
+
+    t0 = jnp.full_like(T, 1.0 / (2.0 * mmax + 1.0))
+    _, ssum = jax.lax.fori_loop(0, _series_n(mmax), series_step, (t0, t0))
+    fs_small = [expT * ssum]
+    for m in range(mmax, 0, -1):
+        fs_small.append((2.0 * Tsm * fs_small[-1] + expT) / (2.0 * m - 1.0))
+    fs_small = fs_small[::-1]  # F_0 .. F_mmax
+
+    use_small = T <= switch
+    out = [jnp.where(use_small, fs_small[0], F0)]
+    for m in range(1, mmax + 1):
+        out.append(jnp.where(use_small, fs_small[m], fs_big[m]))
+    return jnp.stack(out, axis=0)
 
 
 def boys_ref(mmax: int, T):

@@ -66,6 +66,26 @@ def _align_pairs_128() -> bool:
 #: copy per program; disable if the backend mishandles donation)
 DONATE_CARRY = os.environ.get("QCHEM_DONATE", "1") == "1"
 
+#: per-device-call compute budget in "units" (see _tile_units). The TPU
+#: backend kills device executions running longer than ~60 s (round-1: scans
+#: had to be segmented); each class-pair tile scan is split into segments
+#: whose estimated cost stays well under that watchdog. With the gather-free
+#: Boys kernel the measured rate is ~1G units/s, so 1e10 keeps calls at
+#: ~10-20 s worst case while amortizing the ~0.2 s per-call dispatch
+#: overhead of the remote TPU runtime.
+SEG_UNITS = float(os.environ.get("QCHEM_SEG_UNITS", 1e10))
+
+
+def _tile_units(m1: _ClassMeta, m2: _ClassMeta, T1: int, T2: int) -> float:
+    """Rough per-tile cost: R-table recursion (H·a·c grid points) plus the
+    two Hermite->Cartesian dot_generals, all × the T1·T2 tile area."""
+    L = m1.la + m1.lb + m2.la + m2.lb
+    H = nhermite(L)
+    S1 = nhermite(m1.la + m1.lb)
+    S2 = nhermite(m2.la + m2.lb)
+    fused = m1.a * S1 * m2.a * S2  # R2m gather rows = dot contraction sizes
+    return float(T1 * T2 * (H * m1.a * m2.a + 2 * fused))
+
 
 def _pow2_floor(x: int) -> int:
     return 1 << max(0, int(x).bit_length() - 1)
@@ -350,12 +370,27 @@ class TiledEriEngine:
             V2, _ = jax.lax.scan(body, V2, xs)
             return V2
 
-        xs = (jnp.asarray(ti), jnp.asarray(tj))
-        args = (xs,) + self._padded[i1] + self._padded[i2]
+        # segment the tile list so each device call stays under the backend's
+        # ~60 s execution watchdog; the tail segment is padded by repeating
+        # its last tile (identical values re-written in place — idempotent)
+        per_tile = _tile_units(m1, m2, T1, T2)
+        seg = min(len(ti), max(1, int(SEG_UNITS // max(per_tile, 1.0))))
+        nseg = -(-len(ti) // seg)
+        pad = nseg * seg - len(ti)
+        if pad:
+            ti = np.concatenate([ti, np.repeat(ti[-1:], pad)])
+            tj = np.concatenate([tj, np.repeat(tj[-1:], pad)])
+        segments = [
+            (jnp.asarray(ti[s * seg : (s + 1) * seg]),
+             jnp.asarray(tj[s * seg : (s + 1) * seg]))
+            for s in range(nseg)
+        ]
+        operands = self._padded[i1] + self._padded[i2]
         return (
             f"v2_{m1.la}{m1.lb}_{m2.la}{m2.lb}",
             jax.jit(block_program, donate_argnums=(0,) if DONATE_CARRY else ()),
-            args,
+            segments,
+            operands,
         )
 
     # --- program list for thread-parallel precompilation -------------------
@@ -363,20 +398,25 @@ class TiledEriEngine:
     def programs(self):
         M = self.layout.M
         v2_spec = jax.ShapeDtypeStruct((M, M), jnp.float64)
+        sd = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
         out = []
-        for name, fn, args in self._tasks:
-            spec = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
+        for name, fn, segments, operands in self._tasks:
+            spec = jax.tree.map(sd, (segments[0],) + operands)
             out.append((name, fn, (v2_spec,) + spec))
         out.append(("finish_terms", self._finish_terms_jit, (v2_spec,)))
         return out
 
     def build(self) -> jax.Array:
-        """Run all class-pair tile scans; returns V2 (upper blocks valid)."""
+        """Run all class-pair tile scans; returns V2 (upper blocks valid).
+        Each task executes one compiled program once per segment (all
+        segments share the program's shape)."""
         compiled = getattr(self, "_compiled", {})
         M = self.layout.M
         V2 = jnp.zeros((M, M), dtype=jnp.float64)
-        for name, fn, args in self._tasks:
-            V2 = compiled.get(name, fn)(V2, *args)
+        for name, fn, segments, operands in self._tasks:
+            f = compiled.get(name, fn)
+            for xs in segments:
+                V2 = f(V2, xs, *operands)
         return V2
 
     def v2_traced(self, positions) -> jax.Array:
