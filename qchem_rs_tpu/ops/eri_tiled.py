@@ -69,11 +69,12 @@ DONATE_CARRY = os.environ.get("QCHEM_DONATE", "1") == "1"
 #: per-device-call compute budget in "units" (see _tile_units). The TPU
 #: backend kills device executions running longer than ~60 s (round-1: scans
 #: had to be segmented); each class-pair tile scan is split into segments
-#: whose estimated cost stays well under that watchdog. With the gather-free
-#: Boys kernel the measured rate is ~1G units/s, so 1e10 keeps calls at
-#: ~10-20 s worst case while amortizing the ~0.2 s per-call dispatch
-#: overhead of the remote TPU runtime.
-SEG_UNITS = float(os.environ.get("QCHEM_SEG_UNITS", 1e10))
+#: whose estimated cost stays well under that watchdog. Measured on benzene
+#: (one v5e chip): LONG scans degrade per-tile throughput ~1.7x (75-tile
+#: scans run 79 ms/tile vs 46 ms/tile at 8 tiles), so the sweet spot is
+#: many short-scan calls, not few long ones — 6e8 lands there while keeping
+#: every call far under the watchdog.
+SEG_UNITS = float(os.environ.get("QCHEM_SEG_UNITS", 6e8))
 
 
 def _tile_units(m1: _ClassMeta, m2: _ClassMeta, T1: int, T2: int) -> float:
