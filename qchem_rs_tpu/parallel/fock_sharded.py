@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 try:
-    from jax import shard_map  # jax >= 0.8
+    from jax import shard_map as _shard_map  # jax >= 0.8: check_rep became check_vma
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
