@@ -84,7 +84,13 @@ def boys(mmax: int, T: jax.Array) -> jax.Array:
     table gathers lowered catastrophically on TPU (measured 2.8 s for a 27M
     point batch — ~100% of ERI kernel runtime; this version removes them).
     """
-    T = jnp.asarray(T, dtype=jnp.float64)
+    T = jnp.asarray(T)
+    if T.dtype not in (jnp.float32, jnp.float64):
+        T = T.astype(jnp.float64)
+    # dtype follows the input: float64 is the accuracy path (~1e-15); a
+    # float32 input runs the whole evaluation single-precision (~1e-7
+    # relative) — used by the mixed-precision ERI engine for tile blocks
+    # whose Schwarz bound makes single precision exact to ~1e-12 absolute.
     # NOTE the clamp must stay within the f32 EXPONENT range: TPU "f64" is
     # double-float emulation whose dynamic range is float32's (~1e+-38), so
     # pi/1e-300 would overflow to inf there (-> NaN at screened/padded T=0

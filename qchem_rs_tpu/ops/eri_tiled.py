@@ -76,6 +76,14 @@ DONATE_CARRY = os.environ.get("QCHEM_DONATE", "1") == "1"
 #: every call far under the watchdog.
 SEG_UNITS = float(os.environ.get("QCHEM_SEG_UNITS", 6e8))
 
+#: mixed precision: tile blocks whose Schwarz bound product is below this
+#: run the whole tile kernel in float32 (true-hardware VPU/MXU speed instead
+#: of emulated f64). f32 relative error ~1e-6 x bound 1e-6 keeps every such
+#: integral exact to ~1e-12 absolute — below the 1e-8 Eh SCF budget and the
+#: 1e-11 test tolerances. 0 disables (everything f64). Only meaningful when
+#: Schwarz screening is on (bounds are known).
+F32_TILE_BOUND = float(os.environ.get("QCHEM_F32_BOUND", 1e-6))
+
 
 def _tile_units(m1: _ClassMeta, m2: _ClassMeta, T1: int, T2: int) -> float:
     """Rough per-tile cost: R-table recursion (H·a·c grid points) plus the
@@ -116,9 +124,12 @@ def _r_table_tiles(L: int, p, PCx, PCy, PCz):
     onehot, idx1, idx2, coef = _r_plan(L)
     H = len(hermite_components(L))
     extra = (1,) * p.ndim
-    ox, oy, oz = (jnp.asarray(onehot[:, d]).reshape((H,) + extra) for d in range(3))
+    dt = p.dtype
+    ox, oy, oz = (
+        jnp.asarray(onehot[:, d], dt).reshape((H,) + extra) for d in range(3)
+    )
     PCs = ox * PCx[None] + oy * PCy[None] + oz * PCz[None]  # (H,) + B
-    coef = jnp.asarray(coef).reshape((H,) + extra)
+    coef = jnp.asarray(coef, dt).reshape((H,) + extra)
     idx1 = jnp.asarray(idx1)
     idx2 = jnp.asarray(idx2)
 
@@ -155,7 +166,7 @@ def _tile_vals(Lb: int, Lk: int, E1, p1, P1, E2, p2, P2):
     Rf = R.reshape(H, a * c, T1, T2)
     # (a*S1, c*S2, T1, T2) fused quartet-contraction tensor
     R2m = Rf[jnp.asarray(h_arr), jnp.asarray(ac_arr)]
-    R2m = R2m * jnp.asarray(sign_m)[None, :, None, None]
+    R2m = R2m * jnp.asarray(sign_m, R2m.dtype)[None, :, None, None]
 
     E1m = E1.transpose(1, 3, 2, 0).reshape(a * S1, A, T1)
     E2m = E2.transpose(1, 3, 2, 0).reshape(c * S2, C, T2)
@@ -259,11 +270,12 @@ def _tile_list(
     bound2: np.ndarray | None,
     threshold: float,
     same: bool,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Host: Schwarz-screened (ti, tj) pair-offset lists for the tile grid."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host: Schwarz-screened (ti, tj) pair-offset lists for the tile grid,
+    plus each kept tile's Schwarz bound product (1.0 when unscreened)."""
     nb1 = m1.npad // T1
     nb2 = m2.npad // T2
-    keep_i, keep_j = [], []
+    keep_i, keep_j, keep_b = [], [], []
     if bound1 is not None:
         b1 = np.zeros(m1.npad)
         b1[: m1.npairs] = bound1
@@ -282,11 +294,17 @@ def _tile_list(
                 break
             if same and (j + 1) * T2 <= i * T1:
                 continue  # strictly below the diagonal: mirrored later
-            if bound1 is not None and tmax1[i] * tmax2[j] <= threshold:
+            b = tmax1[i] * tmax2[j]
+            if bound1 is not None and b <= threshold:
                 continue
             keep_i.append(i * T1)
             keep_j.append(j * T2)
-    return np.asarray(keep_i, np.int32), np.asarray(keep_j, np.int32)
+            keep_b.append(b)
+    return (
+        np.asarray(keep_i, np.int32),
+        np.asarray(keep_j, np.int32),
+        np.asarray(keep_b, np.float64),
+    )
 
 
 class TiledEriEngine:
@@ -312,7 +330,6 @@ class TiledEriEngine:
         self.system = system
         self.nao = system.n_basis_cart()
         groups = build_pair_groups(system, positions)
-        self.layout = PairSpaceLayout(system, groups)
         bounds = None
         if screening_threshold > 0:
             from qchem_rs_tpu.ops.fock import schwarz_bounds
@@ -321,17 +338,36 @@ class TiledEriEngine:
                 concrete = (
                     groups if positions is None else build_pair_groups(system, None)
                 )
-                bounds = schwarz_bounds(concrete)
+                bounds = [np.asarray(b) for b in schwarz_bounds(concrete)]
+            # sort each class's pairs by DESCENDING Schwarz bound so tile
+            # blocks are bound-coherent: a tile's max bound then reflects all
+            # its pairs, making tile-level skip screening sharp and letting
+            # the low-bound tail run in f32 (shell-index order mixes compact
+            # and far pairs into every tile, defeating both)
+            groups = [
+                dataclasses.replace(
+                    g,
+                    i_shell=g.i_shell[o], j_shell=g.j_shell[o],
+                    ao_i=g.ao_i[o], ao_j=g.ao_j[o],
+                    p=g.p[o], P=g.P[o], E=g.E[o],
+                )
+                for g, b in zip(groups, bounds)
+                for o in [np.argsort(-b, kind="stable")]
+            ]
+            bounds = [b[np.argsort(-b, kind="stable")] for b in bounds]
+        self.layout = PairSpaceLayout(system, groups)
         self.threshold = screening_threshold
 
         metas = self.layout.metas
         self._padded = [pad_group(g, m.npad) for g, m in zip(groups, metas)]
-        self._tasks = []  # (name, fn, xs, donate) per class pair
+        self._padded32 = [tuple(a.astype(jnp.float32) for a in p) for p in self._padded]
+        self._tasks = []  # (name, fn, segments, operands) per class pair/dtype
+        use_f32 = F32_TILE_BOUND > 0 and bounds is not None
         for i1, m1 in enumerate(metas):
             for i2 in range(i1, len(metas)):
                 m2 = metas[i2]
                 T1, T2 = _tile_shapes(m1, m2)
-                ti, tj = _tile_list(
+                ti, tj, btile = _tile_list(
                     m1, m2, T1, T2,
                     None if bounds is None else bounds[i1],
                     None if bounds is None else bounds[i2],
@@ -339,9 +375,22 @@ class TiledEriEngine:
                 )
                 if len(ti) == 0:
                     continue
-                self._tasks.append(self._make_task(i1, i2, m1, m2, T1, T2, ti, tj))
+                if use_f32:
+                    lo = btile <= F32_TILE_BOUND
+                    if lo.any():
+                        self._tasks.append(self._make_task(
+                            i1, i2, m1, m2, T1, T2, ti[lo], tj[lo], f32=True
+                        ))
+                    if (~lo).any():
+                        self._tasks.append(self._make_task(
+                            i1, i2, m1, m2, T1, T2, ti[~lo], tj[~lo]
+                        ))
+                else:
+                    self._tasks.append(
+                        self._make_task(i1, i2, m1, m2, T1, T2, ti, tj)
+                    )
 
-    def _make_task(self, i1, i2, m1, m2, T1, T2, ti, tj):
+    def _make_task(self, i1, i2, m1, m2, T1, T2, ti, tj, f32: bool = False):
         A, C = m1.A, m2.A
         rb, cb = m1.row_base, m2.row_base
         Lb, Lk = m1.la + m1.lb, m2.la + m2.lb
@@ -364,7 +413,7 @@ class TiledEriEngine:
                     sl(E2, tj, T2), sl(p2, tj, T2), sl(P2, tj, T2),
                 )
                 carry = jax.lax.dynamic_update_slice(
-                    carry, vals, (rb + ti * A, cb + tj * C)
+                    carry, vals.astype(carry.dtype), (rb + ti * A, cb + tj * C)
                 )
                 return carry, None
 
@@ -373,9 +422,11 @@ class TiledEriEngine:
 
         # segment the tile list so each device call stays under the backend's
         # ~60 s execution watchdog; the tail segment is padded by repeating
-        # its last tile (identical values re-written in place — idempotent)
+        # its last tile (identical values re-written in place — idempotent).
+        # f32 tiles run ~16x+ faster, so their segments carry 16x the budget.
         per_tile = _tile_units(m1, m2, T1, T2)
-        seg = min(len(ti), max(1, int(SEG_UNITS // max(per_tile, 1.0))))
+        budget = SEG_UNITS * (16 if f32 else 1)
+        seg = min(len(ti), max(1, int(budget // max(per_tile, 1.0))))
         nseg = -(-len(ti) // seg)
         pad = nseg * seg - len(ti)
         if pad:
@@ -386,9 +437,10 @@ class TiledEriEngine:
              jnp.asarray(tj[s * seg : (s + 1) * seg]))
             for s in range(nseg)
         ]
-        operands = self._padded[i1] + self._padded[i2]
+        padded = self._padded32 if f32 else self._padded
+        operands = padded[i1] + padded[i2]
         return (
-            f"v2_{m1.la}{m1.lb}_{m2.la}{m2.lb}",
+            f"v2_{m1.la}{m1.lb}_{m2.la}{m2.lb}" + ("_f32" if f32 else ""),
             jax.jit(block_program, donate_argnums=(0,) if DONATE_CARRY else ()),
             segments,
             operands,

@@ -46,3 +46,13 @@ def test_eri_water_vs_os():
     got = np.asarray(eri(system))
     want = eri_np(system)
     np.testing.assert_allclose(got, want, atol=1e-11, rtol=1e-9)
+
+
+def test_eri_screened_sorted_mixed_precision_vs_os():
+    # screening_threshold > 0 activates Schwarz-bound pair sorting and the
+    # f32 low-bound tile path (ops/eri_tiled.py F32_TILE_BOUND); the result
+    # must still match the oracle to the same tolerance
+    system = load_reference_system("ethylene", "STO-3G")
+    got = np.asarray(eri(system, screening_threshold=1e-12))
+    want = eri_np(system)
+    np.testing.assert_allclose(got, want, atol=1e-11, rtol=1e-9)
