@@ -114,11 +114,13 @@ def main():
 
 def run_configs(configs):
     from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
-    # eps=1e-7: TPU f64 is double-float emulation (~2^-48); the density-RMS
-    # noise floor sits between 1e-7 and 1e-8, and energies are stable to
-    # ~3e-7 Eh across eps settings. True 1e-8 Eh needs the round-2
-    # compensated-accumulation work (docs/ROADMAP.md).
-    cfg = HartreeFockConfig(epsilon=1e-7, max_iterations=150)
+    # eps=1e-8 (the BASELINE.json metric). Round 1 could only run 1e-7: the
+    # tabulated Boys interpolation lost ~1e-8 absolute on-device, putting the
+    # density-RMS noise floor between 1e-7 and 1e-8. The gather-free Boys
+    # kernel (ops/boys.py) evaluates to ~2e-15 on TPU, and 1e-8 density-RMS
+    # now converges (verified water/cc-pVDZ: 50 iterations, energies stable
+    # to 8e-9 across convergence metrics).
+    cfg = HartreeFockConfig(epsilon=1e-8, max_iterations=150)
     # hard per-config budget so one slow compile can't consume the bench
     # window; first (headline) config gets the lion's share
     budgets = [float(os.environ.get("QCHEM_BENCH_BUDGET", 2400)), 600.0, 300.0]
