@@ -78,11 +78,16 @@ SEG_UNITS = float(os.environ.get("QCHEM_SEG_UNITS", 6e8))
 
 #: mixed precision: tile blocks whose Schwarz bound product is below this
 #: run the whole tile kernel in float32 (true-hardware VPU/MXU speed instead
-#: of emulated f64). f32 relative error ~1e-6 x bound 1e-6 keeps every such
-#: integral exact to ~1e-12 absolute — below the 1e-8 Eh SCF budget and the
-#: 1e-11 test tolerances. 0 disables (everything f64). Only meaningful when
-#: Schwarz screening is on (bounds are known).
-F32_TILE_BOUND = float(os.environ.get("QCHEM_F32_BOUND", 1e-6))
+#: of emulated f64). Each such integral is exact to ~rel-1e-6 x bound, BUT
+#: the truncation errors are systematically biased and accumulate LINEARLY
+#: over the ~1e5-1e6 affected Fock contributions: measured benzene/cc-pVDZ
+#: total-energy shift 3.6e-7 Eh at bound 1e-6 (docs/PROFILE_r02.md). That
+#: breaks the 1e-8 Eh headline, so the DEFAULT IS OFF; enable explicitly
+#: (QCHEM_F32_BOUND=1e-6) for throughput-mode scans where ~1e-6 Eh relative
+#: energies suffice (conformer ranking, geometry pre-optimization) — the
+#: payoff grows with system size (benzene: 2.9% of V2 work below 1e-6;
+#: naphthalene: 25%).
+F32_TILE_BOUND = float(os.environ.get("QCHEM_F32_BOUND", 0.0))
 
 
 def _tile_units(m1: _ClassMeta, m2: _ClassMeta, T1: int, T2: int) -> float:

@@ -48,10 +48,14 @@ def test_eri_water_vs_os():
     np.testing.assert_allclose(got, want, atol=1e-11, rtol=1e-9)
 
 
-def test_eri_screened_sorted_mixed_precision_vs_os():
-    # screening_threshold > 0 activates Schwarz-bound pair sorting and the
-    # f32 low-bound tile path (ops/eri_tiled.py F32_TILE_BOUND); the result
-    # must still match the oracle to the same tolerance
+def test_eri_screened_sorted_mixed_precision_vs_os(monkeypatch):
+    # screening_threshold > 0 activates Schwarz-bound pair sorting; forcing
+    # F32_TILE_BOUND also exercises the opt-in f32 low-bound tile path
+    # (default off — see ops/eri_tiled.py). Each f32 integral must stay
+    # within ~rel-1e-6 x bound of the oracle.
+    from qchem_rs_tpu.ops import eri_tiled
+
+    monkeypatch.setattr(eri_tiled, "F32_TILE_BOUND", 1e-6)
     system = load_reference_system("ethylene", "STO-3G")
     got = np.asarray(eri(system, screening_threshold=1e-12))
     want = eri_np(system)
