@@ -169,10 +169,16 @@ def _uhf_scf(
     def jk(D):
         Dtot = D[0] + D[1]
         J = (eri_mat @ Dtot.reshape(-1)).reshape(n, n)
-        # K^s_ij = sum_kl (ik|jl) D^s_kl from the SAME buffer — contraction
-        # over axes (1, 3); no transposed n^4 copy is kept in HBM across
-        # iterations (uhf.rs:210-227 reads the one EriTensor each pass too)
-        K = jnp.einsum("ikjl,skl->sij", eri4, D)
+        # K^s_ij = sum_kl (ik|jl) D^s_kl from the SAME buffer. A direct
+        # einsum("ikjl,skl->sij") makes XLA materialize a TRANSPOSED n^4
+        # temp inside the while-loop body (OOMed benzene/cc-pVDZ on a
+        # 16 GB chip); scanning over i keeps temps at n^3
+        # (uhf.rs:210-227 reads the one EriTensor each pass too).
+        def krow(_, e4_i):  # e4_i: (k, j, l)
+            return None, jnp.einsum("kjl,skl->sj", e4_i, D)
+
+        _, Krows = jax.lax.scan(krow, None, eri4)  # (n, 2, n)
+        K = Krows.transpose(1, 0, 2)
         return J, K
 
     return _uhf_loop(
