@@ -517,6 +517,27 @@ class TiledEriEngine:
         fn = getattr(self, "_compiled", {}).get("finish_terms", self._finish_terms_jit)
         return fn(V2)
 
+    def _terms_rowscan(self, V2):
+        """terms[i,j,k,l] = (ij|kl) - 1/2 (ik|jl) built by a scan over AO
+        row i with two gathers per step — peak HBM is V2f + the output
+        (the transpose-based construction holds THREE n^4-scale buffers,
+        which puts naphthalene/cc-pVDZ out of reach of a 16 GB chip)."""
+        nao = self.nao
+        pmap2 = jnp.asarray(self.layout.pmap.reshape(nao, nao))
+        pmap = jnp.asarray(self.layout.pmap)
+        V2f = self._mirror(V2)
+
+        def row(_, pmap_i):
+            # coulomb row block: (ij|kl) for this i, all j
+            cb = jnp.take(jnp.take(V2f, pmap_i, axis=0), pmap, axis=1)
+            # exchange: y[k, (j,l)] = (ik|jl); transpose k <-> j
+            yb = cb.reshape(nao, nao, nao)
+            xb = yb.transpose(1, 0, 2)
+            return None, (yb - 0.5 * xb).reshape(nao, nao * nao)
+
+        _, terms = jax.lax.scan(row, None, pmap2)  # (nao, nao, nao^2)
+        return terms.reshape(nao * nao, nao * nao)
+
     @property
     def _finish_eri_jit(self):
         if not hasattr(self, "_fe_jit"):
@@ -526,19 +547,23 @@ class TiledEriEngine:
                     e4 = self._spherical(e4)
                 return e4
 
-            self._fe_jit = jax.jit(fe)
+            # V2 is donated: finish is the last consumer, and freeing it
+            # before the (nao^4)-scale expansion matters at naphthalene scale
+            self._fe_jit = jax.jit(fe, donate_argnums=(0,))
         return self._fe_jit
 
     @property
     def _finish_terms_jit(self):
         if not hasattr(self, "_ft_jit"):
             def ft(V2):
-                e4 = self._expand_e4(V2)
                 if self.system.spherical:
+                    # spherical projection needs the dense Cartesian tensor
+                    e4 = self._expand_e4(V2)
                     e4 = self._spherical(e4)
-                ns = e4.shape[0]
-                terms = e4 - 0.5 * e4.transpose(0, 2, 1, 3)
-                return terms.reshape(ns * ns, ns * ns)
+                    ns = e4.shape[0]
+                    terms = e4 - 0.5 * e4.transpose(0, 2, 1, 3)
+                    return terms.reshape(ns * ns, ns * ns)
+                return self._terms_rowscan(V2)
 
-            self._ft_jit = jax.jit(ft)
+            self._ft_jit = jax.jit(ft, donate_argnums=(0,))
         return self._ft_jit
