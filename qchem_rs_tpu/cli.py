@@ -59,10 +59,11 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
     )
     p.add_argument(
         "--fock-mode",
-        choices=["incore", "direct"],
+        choices=["incore", "pair", "direct"],
         default="incore",
-        help="incore materializes the ERI tensor once; direct rebuilds "
-        "screened J/K each iteration (for systems whose ERIs exceed HBM)",
+        help="incore materializes the ERI tensor once; pair keeps only the "
+        "pair-space matrices (~3/4 of one n^4 tensor, J/K as matvecs — the "
+        "scale path); direct rebuilds screened J/K each iteration",
     )
     p.add_argument(
         "--level-shift",

@@ -46,9 +46,11 @@ class HartreeFockConfig:
     spin_multiplicity: int = 0
     #: Schwarz screening threshold for shell-quartet batches (0 disables).
     screening_threshold: float = 1e-12
-    #: "incore" materializes the (screened) ERI tensor once; "direct" rebuilds
-    #: screened J/K every iteration without storing ERIs (for systems whose
-    #: ERI tensor exceeds HBM).
+    #: "incore" materializes the (screened) ERI tensor once; "pair" keeps only
+    #: the pair-space matrices (~3/4 of one n^4 tensor, J/K as two matvecs per
+    #: iteration — the scale path for systems whose dense expansions exceed
+    #: HBM); "direct" rebuilds screened J/K every iteration without storing
+    #: anything n^4-scale (slowest, unbounded system size).
     fock_mode: str = "incore"
     #: per-iteration SCF logging from inside the jitted loop
     #: (jax.debug.print analogue of the reference's log::info!, rhf.rs:90-92)

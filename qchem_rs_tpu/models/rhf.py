@@ -352,24 +352,45 @@ def restricted_hartree_fock(
     warm = density_guess is not None
     positions = jnp.asarray(system.positions)
     t0 = time.perf_counter()
-    if config.fock_mode == "direct":
+    if config.fock_mode in ("direct", "pair"):
         from qchem_rs_tpu.ops import one_electron
         from qchem_rs_tpu.ops.fock import DirectFockBuilder
+        from qchem_rs_tpu.ops.fock_pair import PairSpaceFockBuilder
 
-        builder = DirectFockBuilder(system, threshold=config.screening_threshold)
         S = one_electron.overlap(system, positions)
         H = one_electron.kinetic(system, positions) + one_electron.nuclear(
             system, positions
         )
         X = scf.lowdin_x(S)
         guess = jnp.asarray(density_guess) if warm else None
-        st = jax.jit(
-            lambda H, X, S, g: _rhf_scf_direct(
-                H, X, S, nocc, config, builder._jk_impl, g
+        if config.fock_mode == "pair":
+            # pair-space matrices built once (no n^4 tensor, no per-iteration
+            # integral recomputation); passed as jit ARGUMENTS so the GB-scale
+            # operands don't get baked into the executable
+            builder = PairSpaceFockBuilder(
+                system, threshold=config.screening_threshold
             )
-        )(H, X, S, guess) if warm else jax.jit(
-            lambda H, X, S: _rhf_scf_direct(H, X, S, nocc, config, builder._jk_impl)
-        )(H, X, S)
+            t1 = time.perf_counter()
+            V2f, W = builder.prepare()
+            W.block_until_ready()
+            timings["eri_s"] = time.perf_counter() - t1
+
+            def run(H, X, S, V2f, W, g):
+                jk = lambda D: builder.jk_sph(D, V2f, W)
+                return _rhf_scf_direct(H, X, S, nocc, config, jk, g)
+
+            st = jax.jit(run)(H, X, S, V2f, W, guess)
+        else:
+            builder = DirectFockBuilder(
+                system, threshold=config.screening_threshold
+            )
+            st = jax.jit(
+                lambda H, X, S, g: _rhf_scf_direct(
+                    H, X, S, nocc, config, builder._jk_impl, g
+                )
+            )(H, X, S, guess) if warm else jax.jit(
+                lambda H, X, S: _rhf_scf_direct(H, X, S, nocc, config, builder._jk_impl)
+            )(H, X, S)
     else:
         # modular in-core path: per-class-pair V2 programs + one SCF program
         ones, engine = _incore_tools(system, config)

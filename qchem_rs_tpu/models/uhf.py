@@ -66,7 +66,7 @@ class _UhfState(NamedTuple):
 
 def _uhf_loop(
     H, X, S, nocc, max_iterations, epsilon, metric, diis_window, mixing,
-    jk_fn, density_guess, verbose,
+    jk_fn, density_guess, verbose, level_shift=0.0,
 ) -> _UhfState:
     """Shared UHF fixed point; ``jk_fn(D) -> (J_total, K_stack)`` where D is
     the (2, n, n) spin-density stack."""
@@ -94,7 +94,22 @@ def _uhf_loop(
         F = H[None] + G
         err = F @ D @ S[None] - S[None] @ D @ F
         F, diis = jax.vmap(lambda s, e, f: diis_apply(s, e, f, diis_min))(st.diis, err, F)
-        C, w = jax.vmap(lambda f: scf.solve_fock(f, X))(F)
+        if level_shift != 0.0:
+            # per-spin virtual-space shift (cf. models/rhf.py): the spin
+            # density here carries NO factor 2, so the occupied projector in
+            # the orthogonal basis is P' = (SX)^T D^s (SX) directly
+            SX = S @ X
+
+            def shifted_solve(f, d):
+                Fp = X.T @ f @ X
+                Pp = SX.T @ d @ SX
+                Fp = Fp + level_shift * (jnp.eye(n) - Pp)
+                w, Cp = jnp.linalg.eigh(Fp)
+                return X @ Cp, w
+
+            C, w = jax.vmap(shifted_solve)(F, D)
+        else:
+            C, w = jax.vmap(lambda f: scf.solve_fock(f, X))(F)
         # per-spin density via occupation masks (static shapes for both spins)
         D_new = jnp.einsum("sik,sk,sjk->sij", C, occ_mask, C)
         d_change = D_new - D
@@ -148,7 +163,7 @@ def _uhf_loop(
     return jax.lax.while_loop(cond, body, init)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 11))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 11, 12))
 def _uhf_scf(
     H: jax.Array,
     X: jax.Array,
@@ -162,6 +177,7 @@ def _uhf_scf(
     eri4: jax.Array,  # (n, n, n, n) chemists' (ij|kl) — the ONLY n^4 buffer
     density_guess: Optional[jax.Array] = None,  # (2, n, n) warm start
     verbose: bool = False,
+    level_shift: float = 0.0,
 ) -> _UhfState:
     n = H.shape[0]
     eri_mat = eri4.reshape(n * n, n * n)
@@ -183,7 +199,7 @@ def _uhf_scf(
 
     return _uhf_loop(
         H, X, S, nocc, max_iterations, epsilon, metric, diis_window, mixing,
-        jk, density_guess, verbose,
+        jk, density_guess, verbose, level_shift,
     )
 
 
@@ -206,6 +222,7 @@ def _uhf_scf_direct(
         H, X, S, nocc, config.max_iterations, config.epsilon,
         config.convergence_metric, config.diis_window(2, 8),
         config.mixing_factor, jk, density_guess, config.verbose,
+        config.level_shift,
     )
 
 
@@ -223,6 +240,7 @@ def _uhf_statics(config: HartreeFockConfig, nocc: tuple[int, int]) -> tuple:
         config.diis_window(2, 8),
         config.mixing_factor,
         config.verbose,
+        config.level_shift,
     )
 
 
@@ -262,7 +280,7 @@ def precompile_uhf(
                 mat, mat, mat, nocc,
                 config.max_iterations, config.epsilon, config.convergence_metric,
                 config.diis_window(2, 8), config.mixing_factor, eri_spec,
-                None, config.verbose,
+                None, config.verbose, config.level_shift,
             ),
         )
     )
@@ -303,22 +321,40 @@ def unrestricted_hartree_fock(
     positions = jnp.asarray(system.positions)
     guess = jnp.asarray(density_guess) if warm else None
     t0 = time.perf_counter()
-    if config.fock_mode == "direct":
+    if config.fock_mode in ("direct", "pair"):
         from qchem_rs_tpu.ops.fock import DirectFockBuilder
+        from qchem_rs_tpu.ops.fock_pair import PairSpaceFockBuilder
 
-        builder = DirectFockBuilder(system, threshold=config.screening_threshold)
         S = one_electron.overlap(system, positions)
         H = one_electron.kinetic(system, positions) + one_electron.nuclear(
             system, positions
         )
         X = scf.lowdin_x(S)
-        if warm:
+        if config.fock_mode == "pair":
+            # pair-space matrices built once; jit ARGUMENTS so the GB-scale
+            # operands don't get baked into the executable (cf. models/rhf.py)
+            builder = PairSpaceFockBuilder(
+                system, threshold=config.screening_threshold
+            )
+            t1 = time.perf_counter()
+            V2f, W = builder.prepare()
+            W.block_until_ready()
+            timings["eri_s"] = time.perf_counter() - t1
+
+            def run(H, X, S, V2f, W, g):
+                jk = lambda D: builder.jk_sph(D, V2f, W)
+                return _uhf_scf_direct(H, X, S, nocc, config, jk, g)
+
+            st = jax.jit(run)(H, X, S, V2f, W, guess)
+        elif warm:
+            builder = DirectFockBuilder(system, threshold=config.screening_threshold)
             st = jax.jit(
                 lambda H, X, S, g: _uhf_scf_direct(
                     H, X, S, nocc, config, builder._jk_impl, g
                 )
             )(H, X, S, guess)
         else:
+            builder = DirectFockBuilder(system, threshold=config.screening_threshold)
             st = jax.jit(
                 lambda H, X, S: _uhf_scf_direct(H, X, S, nocc, config, builder._jk_impl)
             )(H, X, S)
@@ -346,7 +382,7 @@ def unrestricted_hartree_fock(
                 H, X, S, nocc,
                 config.max_iterations, config.epsilon, config.convergence_metric,
                 config.diis_window(2, 8), config.mixing_factor, eri4,
-                guess, config.verbose,
+                guess, config.verbose, config.level_shift,
             )
         timings["scf_s"] = time.perf_counter() - t1
     st.density.block_until_ready()

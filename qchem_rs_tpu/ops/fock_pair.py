@@ -1,0 +1,191 @@
+"""Pair-space J/K Fock builds: the no-n^4 scale path.
+
+The reference materializes the dense n^4 ERI tensor and an n^4 operator
+table (/root/reference/core/src/hf/rhf.rs:45,58-62) — its binding scale
+limit. The round-1 integral-direct builder here avoided the n^4 memory but
+recomputed every integral each SCF iteration through a scatter-add
+architecture the round-2 profiling measured at ~99% of runtime.
+
+This module replaces both with two pair-space MATRICES built once per
+geometry (no scatters, no recomputation, no n^4 tensor):
+
+- ``V2f[(ij),(kl)] = (ij|kl)``: the symmetric pair-space ERI matrix from
+  the tiled engine (ops/eri_tiled.py), mirrored. Coulomb is one matvec:
+      J[(ij)] = sum_(kl) V2f[(ij),(kl)] * w_kl * D[kl],  w = 2 - delta_kl.
+- ``W[(i,k),(jl)] = (ij|kl) + (il|kj)``: the exchange-ordered matrix, built
+  once from V2f by an AO-row scan of row/column takes (the same
+  gather pattern as the in-core finish programs — no scatters). Exchange is
+  then also one matvec:
+      K[(i,k)] = sum_(jl) W[(i,k),(jl)] * wk_jl * D[jl],
+  with wk = 1 (j != l), 1/2 (j = l; W double-counts the diagonal column).
+
+Memory: V2f is ~(n^2/2)^2 and W is n^2 x n^2/2 — together ~3/4 of ONE n^4
+tensor, with no transpose peaks (the in-core terms path holds V2f + e4 +
+terms). Per-iteration cost: two memory-bound matvecs (MXU-fed), no gathers.
+
+W keys the rows by ORDERED (i,k) (full n^2) so the row-scan writes
+contiguous (nao, M) blocks — pair-space rows would scatter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
+from qchem_rs_tpu.utils.system import MolecularSystem
+
+
+def pair_row_ao(layout) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-V2-row AO indices (row_i, row_j) with -1 on padding rows, plus a
+    ``dup`` mask: True on the redundant orientation rows of DIAGONAL shell
+    pairs (a shell paired with itself stores both component orientations
+    (a,b) and (b,a) as distinct V2 rows holding the same unordered AO pair —
+    column sums over all rows must count each pair once)."""
+    M = layout.M
+    row_i = np.full(M, -1, dtype=np.int32)
+    row_j = np.full(M, -1, dtype=np.int32)
+    dup = np.zeros(M, dtype=bool)
+    from qchem_rs_tpu.ops.angular import ncart
+
+    for g, m in zip(layout.groups, layout.metas):
+        ncA, ncB = ncart(g.la), ncart(g.lb)
+        comp_dup = (np.arange(ncA)[:, None] < np.arange(ncB)[None, :]).reshape(-1)
+        for k in range(g.npairs):
+            base = m.row_base + k * m.A
+            ii = g.ao_i[k] + np.arange(ncA)
+            jj = g.ao_j[k] + np.arange(ncB)
+            rows = base + (np.arange(ncA)[:, None] * ncB + np.arange(ncB)[None, :])
+            row_i[rows.reshape(-1)] = np.repeat(ii, ncB)
+            row_j[rows.reshape(-1)] = np.tile(jj, ncA)
+            if g.i_shell[k] == g.j_shell[k]:
+                dup[rows.reshape(-1)] = comp_dup
+    return row_i, row_j, dup
+
+
+def _mirror(V2):
+    M = V2.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    return jnp.where(r > c, V2.T, V2)
+
+
+def build_w(V2f, pmap2, colA, colB):
+    """Exchange-ordered W (nao^2, M) from the mirrored pair matrix by an
+    AO-row scan: per row i, gather the (nao, M) slab of (ij|..) rows, expand
+    ket columns, transpose j<->k, and take the two exchange column maps.
+    All data movement is row/column ``take`` — scatter-free."""
+    nao = pmap2.shape[0]
+
+    def row(_, pmap_i):
+        y = jnp.take(V2f, pmap_i, axis=0)  # (nao, M): [(ij), (kl)-cols]
+        yf = jnp.take(y, pmap2.reshape(-1), axis=1)  # (nao, nao^2): [j, k*n+l]
+        yt = yf.reshape(nao, nao, nao).transpose(1, 0, 2).reshape(nao, nao * nao)
+        Wb = jnp.take(yt, colA, axis=1) + jnp.take(yt, colB, axis=1)
+        return None, Wb  # (nao, M): rows (i,k) for this i, all k
+
+    _, W = jax.lax.scan(row, None, pmap2)
+    return W.reshape(nao * nao, V2f.shape[1])
+
+
+class PairSpaceFockBuilder:
+    """J/K builder backed by the pair-space matrices V2f and W.
+
+    Usage:
+        builder = PairSpaceFockBuilder(system, threshold=1e-12)
+        builder.prepare()            # V2 tile scans + mirror + W build
+        J, K = builder.jk(D)         # two matvecs
+
+    ``jk_cart``/``jk_operands`` expose a traceable form for jitted SCF
+    loops: the (V2f, W) matrices are passed as ARGUMENTS, not closure
+    constants (closure constants at GB scale bloat the executable and
+    defeat donation).
+    """
+
+    def __init__(
+        self,
+        system: MolecularSystem,
+        threshold: float = 1e-12,
+        positions=None,
+        engine: TiledEriEngine | None = None,
+    ):
+        self.system = system
+        self.nao = system.n_basis_cart()
+        self.engine = engine or TiledEriEngine(
+            system, threshold, positions=positions
+        )
+        layout = self.engine.layout
+        self.M = layout.M
+        row_i, row_j, dup = pair_row_ao(layout)
+        nao = self.nao
+        pad = row_i < 0
+        ci = np.where(pad, 0, row_i).astype(np.int32)
+        cj = np.where(pad, 0, row_j).astype(np.int32)
+        dead = pad | dup
+        # J: D-vector weights 2 - delta (both orderings of the ket pair)
+        self._wj = jnp.asarray(np.where(dead, 0.0, np.where(ci == cj, 1.0, 2.0)))
+        # K: W double-counts j = l columns -> half weight there
+        self._wk = jnp.asarray(np.where(dead, 0.0, np.where(ci == cj, 0.5, 1.0)))
+        self._pidx = jnp.asarray((ci * nao + cj).astype(np.int32))  # (M,)
+        self._pmap2 = jnp.asarray(layout.pmap.reshape(nao, nao))
+        self._colA = jnp.asarray((ci * nao + cj).astype(np.int32))
+        self._colB = jnp.asarray((cj * nao + ci).astype(np.int32))
+        self._prepared = None
+
+    # --- one-time builds ---------------------------------------------------
+
+    @property
+    def _prep_jit(self):
+        if not hasattr(self, "_pj"):
+            def prep(V2):
+                V2f = _mirror(V2)
+                W = build_w(V2f, self._pmap2, self._colA, self._colB)
+                return V2f, W
+
+            self._pj = jax.jit(prep, donate_argnums=(0,))
+        return self._pj
+
+    def prepare(self):
+        """Build V2 (tile scans), mirror, and the exchange matrix W."""
+        if self._prepared is None:
+            V2 = self.engine.build()
+            self._prepared = self._prep_jit(V2)
+        return self._prepared
+
+    @property
+    def jk_operands(self):
+        return self.prepare()
+
+    # --- traceable J/K -----------------------------------------------------
+
+    def jk_cart(self, D, V2f, W):
+        """Cartesian-AO J and K from density D (nao, nao). Traceable; V2f/W
+        arrive as operands."""
+        nao = self.nao
+        Dflat = D.reshape(-1)
+        dJ = jnp.take(Dflat, self._pidx) * self._wj  # (M,)
+        Jp = V2f @ dJ  # (M,)
+        J = jnp.take(Jp, self._pmap2.reshape(-1)).reshape(nao, nao)
+        dK = jnp.take(Dflat, self._pidx) * self._wk
+        K = (W @ dK).reshape(nao, nao)
+        return J, K
+
+    def jk_sph(self, D, V2f, W):
+        """J/K in the system's working basis: spherical densities are mapped
+        to Cartesian and back (the pair matrices are Cartesian — the
+        spherical projection is two cheap (nsph, ncart) sandwiches, exactly
+        as the direct builder did)."""
+        if self.system.spherical:
+            T = jnp.asarray(self.system.sph_T)
+            J, K = self.jk_cart(T @ D @ T.T, V2f, W)
+            return T.T @ J @ T, T.T @ K @ T
+        return self.jk_cart(D, V2f, W)
+
+    def jk(self, D):
+        V2f, W = self.prepare()
+        if not hasattr(self, "_jk_jit"):
+            self._jk_jit = jax.jit(self.jk_sph)
+        return self._jk_jit(jnp.asarray(D), V2f, W)

@@ -1,0 +1,55 @@
+"""Pair-space J/K builder (ops/fock_pair.py) vs dense-tensor contraction.
+
+The pair-space path is the no-n^4 scale design (the reference's binding
+limit is its dense n^4 materialization, rhf.rs:45,58-62); these tests pin
+its J and K to the dense einsum on small systems where n^4 is trivial.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qchem_rs_tpu.ops.eri import eri
+from qchem_rs_tpu.ops.fock_pair import PairSpaceFockBuilder
+from qchem_rs_tpu.utils.basis import BasisSet
+from qchem_rs_tpu.utils.system import MolecularSystem
+
+
+@pytest.mark.parametrize(
+    "basis,mol",
+    [("STO-3G", "water"), ("6-31G", "methane"), ("cc-pVDZ", "water")],
+)
+def test_pair_jk_matches_dense(data_dir, basis, mol):
+    b = BasisSet.load(f"{data_dir}/basis/{basis}.json")
+    s = MolecularSystem.load(f"{data_dir}/mol/{mol}.json", b)
+    nao = s.n_basis()
+    rng = np.random.default_rng(3)
+    D = rng.standard_normal((nao, nao))
+    D = D + D.T  # densities are symmetric
+
+    e4 = np.asarray(eri(s))
+    J_ref = np.einsum("ijkl,kl->ij", e4, D)
+    K_ref = np.einsum("ijkl,jl->ik", e4, D)
+
+    builder = PairSpaceFockBuilder(s, threshold=1e-14)
+    J, K = builder.jk(jnp.asarray(D))
+    scale = max(np.abs(J_ref).max(), 1.0)
+    assert np.abs(np.asarray(J) - J_ref).max() / scale < 1e-11
+    assert np.abs(np.asarray(K) - K_ref).max() / scale < 1e-11
+
+
+def test_pair_jk_screening_consistent(data_dir):
+    """A loose-but-sane Schwarz threshold must not move J/K beyond ~tau."""
+    b = BasisSet.load(f"{data_dir}/basis/STO-3G.json")
+    s = MolecularSystem.load(f"{data_dir}/mol/ethylene.json", b)
+    nao = s.n_basis()
+    rng = np.random.default_rng(5)
+    D = rng.standard_normal((nao, nao))
+    D = D + D.T
+
+    tight = PairSpaceFockBuilder(s, threshold=1e-14)
+    loose = PairSpaceFockBuilder(s, threshold=1e-8)
+    Jt, Kt = tight.jk(jnp.asarray(D))
+    Jl, Kl = loose.jk(jnp.asarray(D))
+    assert np.abs(np.asarray(Jt) - np.asarray(Jl)).max() < 1e-5
+    assert np.abs(np.asarray(Kt) - np.asarray(Kl)).max() < 1e-5
