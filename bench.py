@@ -52,8 +52,10 @@ CONFIGS = [
     ("benzene", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_benzene_ccpvdz"),
     ("benzene", os.path.join(ROOT, "data", "basis", "6-31G.json"), "rhf_benzene_631g"),
     ("water", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_water_ccpvdz"),
-    # BASELINE config 5 (opt-in via QCHEM_BENCH_ONLY=rhf_naphthalene_direct):
-    # naphthalene/cc-pVDZ integral-direct — no n^4 ERI tensor in HBM
+    # BASELINE config 5 (opt-in via QCHEM_BENCH_ONLY=rhf_naphthalene_pair):
+    # naphthalene/cc-pVDZ via the pair-space Fock engine — no n^4 tensor in
+    # HBM (the reference's binding scale limit, rhf.rs:45,58-62)
+    ("naphthalene", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_naphthalene_pair"),
     ("naphthalene", os.path.join(ROOT, "data", "basis", "cc-pVDZ.json"), "rhf_naphthalene_direct"),
 ]
 
@@ -112,6 +114,52 @@ def main():
     return 1
 
 
+def _cpu_baseline(tag) -> float | None:
+    """Same config on XLA:CPU (all host cores, native f64) — the honest
+    apples-to-apples baseline. The reference cannot be built here (molint
+    path dep unvendored, Cargo.toml:12) and its only recorded number is a
+    14.3 s debug-build profile of an unknown config (BASELINE.md), so the
+    defensible comparison is this framework's own CPU path vs its TPU path.
+    Runs in a subprocess (the TPU backend must never be re-platformed to
+    CPU in-process — see docs/ROADMAP.md backend rules); returns the warm
+    wall time, or None off the headline config / on failure."""
+    import subprocess
+
+    if tag != "rhf_benzene_ccpvdz" or os.environ.get("QCHEM_BENCH_CPU_CHILD"):
+        return None
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return None
+    budget = float(os.environ.get("QCHEM_BENCH_CPU_BUDGET", 1500))
+    env = dict(
+        os.environ,
+        QCHEM_BENCH_ONLY=tag,
+        QCHEM_BENCH_CPU_CHILD="1",
+        QCHEM_BENCH_BUDGET=str(budget),
+        JAX_PLATFORMS="cpu",
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=budget + 300,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("{"):
+            try:
+                v = json.loads(line).get("value", -1)
+                if v > 0:
+                    return float(v)
+            except json.JSONDecodeError:
+                pass
+    return None
+
+
 def run_configs(configs):
     from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
     # eps=1e-8 (the BASELINE.json metric). Round 1 could only run 1e-7: the
@@ -132,6 +180,8 @@ def run_configs(configs):
 
             if tag.endswith("_direct"):
                 cfg = dataclasses.replace(cfg, fock_mode="direct")
+            elif tag.endswith("_pair"):
+                cfg = dataclasses.replace(cfg, fock_mode="pair")
             basis = BasisSet.load(basis_path)
             system = MolecularSystem.load(os.path.join(ROOT, "data", "mol", f"{mol}.json"), basis)
             import signal
@@ -176,6 +226,10 @@ def run_configs(configs):
                 "run_s": round(out2.timings.get("total_s", warm), 3),
                 "gflops_per_s": gflops,
             }
+            cpu = _cpu_baseline(tag)
+            if cpu is not None:
+                result["cpu_warm_s"] = round(cpu, 3)
+                result["speedup_vs_cpu"] = round(cpu / warm, 2)
             print(json.dumps(result))
             return 0
         except BenchTimeout as e:

@@ -61,7 +61,7 @@ class _ScfState(NamedTuple):
     coefficients: jax.Array
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 11, 12))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 12, 13))
 def _rhf_scf(
     H: jax.Array,
     X: jax.Array,
@@ -73,16 +73,17 @@ def _rhf_scf(
     diis_window: tuple[int, int],
     mixing: float,
     terms_mat: jax.Array,  # (n^2, n^2): (ij|kl) - 1/2 (ik|jl)
-    density_guess: Optional[jax.Array] = None,  # warm start (checkpoint/sweep)
+    density_guess: jax.Array,  # (n, n); selected by use_guess
+    use_guess: jax.Array,  # () bool, TRACED: warm starts (checkpoint/sweep)
+    # reuse the same compiled executable as cold runs — a static/None guess
+    # would specialize the program and force a fresh ~45 s TPU compile
     verbose: bool = False,
     level_shift: float = 0.0,
 ) -> _ScfState:
     n = H.shape[0]
     diis_min, diis_max = diis_window
-    D0 = (
-        scf.huckel_guess(H, S, X, nocc, scale=2.0)
-        if density_guess is None
-        else density_guess
+    D0 = jnp.where(
+        use_guess, density_guess, scf.huckel_guess(H, S, X, nocc, scale=2.0)
     )
 
     def body(st: _ScfState) -> _ScfState:
@@ -112,6 +113,11 @@ def _rhf_scf(
             # (energy error is quadratic in the density error near the
             # fixed point)
             rms = jnp.abs(energy - st.energy)
+        elif metric == "diis_err":
+            # commutator norm max|FDS - SDF|: the SCF gradient surrogate —
+            # unlike density metrics it needs no extra iteration to observe
+            # a small CHANGE, it measures distance-to-fixed-point directly
+            rms = jnp.max(jnp.abs(err))
         else:
             rms = scf.density_rms(d_change, metric)
         if verbose:  # in-jit analogue of the reference's per-iteration log::info!
@@ -226,7 +232,8 @@ def precompile_rhf(
                 mat, mat, mat, nocc,
                 config.max_iterations, config.epsilon, config.convergence_metric,
                 config.diis_window(4, 6), config.mixing_factor, terms_spec,
-                None, config.verbose, config.level_shift,
+                mat, jax.ShapeDtypeStruct((), jnp.bool_),
+                config.verbose, config.level_shift,
             ),
         )
     )
@@ -407,19 +414,23 @@ def restricted_hartree_fock(
         terms_mat.block_until_ready()
         timings["eri_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
-        scf_args = (
-            H, X, S, nocc,
-            config.max_iterations, config.epsilon, config.convergence_metric,
-            config.diis_window(4, 6), config.mixing_factor, terms_mat,
-            jnp.asarray(density_guess) if warm else None, config.verbose,
-            config.level_shift,
+        n = system.n_basis()
+        guess_arr = (
+            jnp.asarray(density_guess) if warm else jnp.zeros((n, n))
         )
+        use_g = jnp.asarray(warm)
         scf_cache = getattr(engine, "_compiled_scf", None) or {}
         cscf = scf_cache.get(_scf_statics(config, nocc)) if isinstance(scf_cache, dict) else None
-        if cscf is not None and not warm:
-            st = cscf(H, X, S, terms_mat, None)
+        if cscf is not None:
+            # warm starts share the executable: the guess is an operand
+            st = cscf(H, X, S, terms_mat, guess_arr, use_g)
         else:
-            st = _rhf_scf(*scf_args)
+            st = _rhf_scf(
+                H, X, S, nocc,
+                config.max_iterations, config.epsilon, config.convergence_metric,
+                config.diis_window(4, 6), config.mixing_factor, terms_mat,
+                guess_arr, use_g, config.verbose, config.level_shift,
+            )
         timings["scf_s"] = time.perf_counter() - t1
     st.density.block_until_ready()
     timings["total_s"] = time.perf_counter() - t0

@@ -66,26 +66,38 @@ class _UhfState(NamedTuple):
 
 def _uhf_loop(
     H, X, S, nocc, max_iterations, epsilon, metric, diis_window, mixing,
-    jk_fn, density_guess, verbose, level_shift=0.0,
+    jk_fn, density_guess, verbose, level_shift=0.0, use_guess=None,
 ) -> _UhfState:
     """Shared UHF fixed point; ``jk_fn(D) -> (J_total, K_stack)`` where D is
-    the (2, n, n) spin-density stack."""
+    the (2, n, n) spin-density stack. ``use_guess`` (traced bool) selects
+    between ``density_guess`` and the Hückel start at RUN time, so one
+    compiled program serves both cold and warm-started runs."""
     n = H.shape[0]
     diis_min, diis_max = diis_window
     occ_mask = jnp.stack(
         [jnp.arange(n) < nocc[0], jnp.arange(n) < nocc[1]]
     ).astype(H.dtype)  # (2, n)
 
-    D0 = (
-        jnp.stack(
+    if density_guess is None:
+        D0 = jnp.stack(
             [
                 scf.huckel_guess(H, S, X, nocc[0], scale=1.0),
                 scf.huckel_guess(H, S, X, nocc[1], scale=1.0),
             ]
         )
-        if density_guess is None
-        else density_guess
-    )
+    elif use_guess is None:
+        D0 = density_guess
+    else:
+        D0 = jnp.where(
+            use_guess,
+            density_guess,
+            jnp.stack(
+                [
+                    scf.huckel_guess(H, S, X, nocc[0], scale=1.0),
+                    scf.huckel_guess(H, S, X, nocc[1], scale=1.0),
+                ]
+            ),
+        )
 
     def body(st: _UhfState) -> _UhfState:
         D = st.density  # (2, n, n)
@@ -118,6 +130,10 @@ def _uhf_loop(
         if metric == "energy":
             # |dE| < eps — see models/rhf.py (the "1e-8 Eh" criterion)
             rms = jnp.abs(energy - st.energy)
+            conv = rms < epsilon
+        elif metric == "diis_err":
+            # commutator norm max|FDS - SDF| over both spins (cf. models/rhf.py)
+            rms = jnp.max(jnp.abs(err))
             conv = rms < epsilon
         elif metric == "diag_rms":
             per_spin_rms = scf.density_rms(d_change, metric)  # (2,)
@@ -163,7 +179,7 @@ def _uhf_loop(
     return jax.lax.while_loop(cond, body, init)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 11, 12))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 12, 13))
 def _uhf_scf(
     H: jax.Array,
     X: jax.Array,
@@ -175,7 +191,9 @@ def _uhf_scf(
     diis_window: tuple[int, int],
     mixing: float,
     eri4: jax.Array,  # (n, n, n, n) chemists' (ij|kl) — the ONLY n^4 buffer
-    density_guess: Optional[jax.Array] = None,  # (2, n, n) warm start
+    density_guess: jax.Array,  # (2, n, n); selected by use_guess
+    use_guess: jax.Array,  # () bool, TRACED — warm starts share the cold
+    # executable (a None-specialized variant would force a fresh compile)
     verbose: bool = False,
     level_shift: float = 0.0,
 ) -> _UhfState:
@@ -199,7 +217,7 @@ def _uhf_scf(
 
     return _uhf_loop(
         H, X, S, nocc, max_iterations, epsilon, metric, diis_window, mixing,
-        jk, density_guess, verbose, level_shift,
+        jk, density_guess, verbose, level_shift, use_guess,
     )
 
 
@@ -280,7 +298,9 @@ def precompile_uhf(
                 mat, mat, mat, nocc,
                 config.max_iterations, config.epsilon, config.convergence_metric,
                 config.diis_window(2, 8), config.mixing_factor, eri_spec,
-                None, config.verbose, config.level_shift,
+                jax.ShapeDtypeStruct((2, n, n), jnp.float64),
+                jax.ShapeDtypeStruct((), jnp.bool_),
+                config.verbose, config.level_shift,
             ),
         )
     )
@@ -373,16 +393,20 @@ def unrestricted_hartree_fock(
         eri4.block_until_ready()
         timings["eri_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
+        n = system.n_basis()
+        guess_arr = guess if warm else jnp.zeros((2, n, n))
+        use_g = jnp.asarray(warm)
         scf_cache = getattr(engine, "_compiled_uhf_scf", None) or {}
         cscf = scf_cache.get(_uhf_statics(config, nocc)) if isinstance(scf_cache, dict) else None
-        if cscf is not None and not warm:
-            st = cscf(H, X, S, eri4, None)
+        if cscf is not None:
+            # warm starts share the executable: the guess is an operand
+            st = cscf(H, X, S, eri4, guess_arr, use_g)
         else:
             st = _uhf_scf(
                 H, X, S, nocc,
                 config.max_iterations, config.epsilon, config.convergence_metric,
                 config.diis_window(2, 8), config.mixing_factor, eri4,
-                guess, config.verbose, config.level_shift,
+                guess_arr, use_g, config.verbose, config.level_shift,
             )
         timings["scf_s"] = time.perf_counter() - t1
     st.density.block_until_ready()

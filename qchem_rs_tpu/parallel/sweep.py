@@ -31,12 +31,15 @@ def nuclear_repulsion_jnp(charges: jax.Array, positions: jax.Array) -> jax.Array
 
 
 def rhf_energy_fn(system: MolecularSystem, config: HartreeFockConfig):
-    """A traceable positions -> (total_energy, converged, iterations) RHF."""
+    """A traceable positions -> (total_energy, converged, iterations, density)
+    RHF. Optional (density_guess, use_guess) operands warm-start the SCF —
+    the SAME traced program serves cold and chained runs (a None-specialized
+    variant would recompile per chain step)."""
     n = system.n_basis()
     nocc = system.n_electrons(config.charge) // 2
     charges = jnp.asarray(system.charges)
 
-    def fn(positions: jax.Array):
+    def fn(positions: jax.Array, density_guess=None, use_guess=None):
         from qchem_rs_tpu.ops.fock import eri_terms
 
         S = one_electron.overlap(system, positions)
@@ -61,9 +64,11 @@ def rhf_energy_fn(system: MolecularSystem, config: HartreeFockConfig):
             config.diis_window(4, 6),
             config.mixing_factor,
             terms.reshape(n * n, n * n),
+            jnp.zeros((n, n)) if density_guess is None else density_guess,
+            jnp.asarray(False) if use_guess is None else use_guess,
         )
         total = st.energy + nuclear_repulsion_jnp(charges, positions)
-        return total, st.converged, st.iteration
+        return total, st.converged, st.iteration, st.density
 
     return fn
 
@@ -94,7 +99,7 @@ def conformer_sweep(
 
     sharding = batch_sharding(mesh)
     geoms_dev = jax.device_put(jnp.asarray(geometries), sharding)
-    energies, converged, iters = jax.jit(jax.vmap(fn))(geoms_dev)
+    energies, converged, iters, _ = jax.jit(jax.vmap(fn))(geoms_dev)
     return (
         np.asarray(energies)[:nconf],
         np.asarray(converged)[:nconf],
@@ -111,18 +116,23 @@ def chained_sweep(
     guess (SURVEY.md §5 checkpoint/resume row). For correlated geometries
     (reaction paths) this typically halves the iteration count; the batched
     ``conformer_sweep`` is the throughput mode for independent conformers.
-    """
-    from qchem_rs_tpu.models.rhf import restricted_hartree_fock
 
+    One traced program serves the whole chain (positions, guess and the
+    use-guess flag are operands): the chain compiles ONCE, each step is an
+    execution.
+    """
     config = config or HartreeFockConfig()
+    fn = jax.jit(rhf_energy_fn(system, config))
+    n = system.n_basis()
     energies, converged = [], []
-    guess = None
+    guess = jnp.zeros((n, n))
+    use = False
     for pos in np.asarray(geometries, dtype=np.float64):
-        out = restricted_hartree_fock(
-            system.with_positions(pos), config, density_guess=guess
-        )
-        energies.append(out.total_energy())
-        converged.append(out.converged)
-        if out.converged:
-            guess = out.density
+        total, conv, _, density = fn(jnp.asarray(pos), guess, jnp.asarray(use))
+        e_np = float(total)
+        c_np = bool(conv)
+        energies.append(e_np)
+        converged.append(c_np)
+        if c_np:
+            guess, use = density, True
     return np.asarray(energies), np.asarray(converged)
