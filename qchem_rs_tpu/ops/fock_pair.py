@@ -189,3 +189,38 @@ class PairSpaceFockBuilder:
         if not hasattr(self, "_jk_jit"):
             self._jk_jit = jax.jit(self.jk_sph)
         return self._jk_jit(jnp.asarray(D), V2f, W)
+
+
+class PairSpaceShardedFockBuilder(PairSpaceFockBuilder):
+    """Pair-space J/K with the pair axis (M) sharded over a device mesh.
+
+    Both matrices are column-sharded on the pair axis — V2f (M, M/ndev) and
+    W (nao^2, M/ndev) per device — so per-device HBM scales as 1/ndev (the
+    multi-chip continuation of the no-n^4 design; the reference is bound by
+    one host's memory, rhf.rs:45,58-62). J and K are then
+    contraction-over-M matvecs: each device contracts its column slab and
+    XLA/GSPMD inserts the psum over ICI (SURVEY.md §2.2 item 1). No
+    shard_map needed — the shardings on the operands drive the partitioner,
+    which is the idiomatic sharding story for plain dense algebra.
+
+    M is always a multiple of 8 (pair counts pad to powers of two >= 8, or
+    to 128 on accelerators — eri_tiled.PairSpaceLayout), so any power-of-two
+    mesh divides it evenly.
+    """
+
+    def __init__(self, system, mesh, axis: str = "q", **kw):
+        super().__init__(system, **kw)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.shape[axis]
+        if self.M % ndev:
+            raise ValueError(f"pair count M={self.M} not divisible by mesh axis {ndev}")
+        self._col_sharding = NamedSharding(mesh, P(None, axis))
+
+    def prepare(self):
+        if self._prepared is None:
+            V2f, W = super().prepare()
+            V2f = jax.device_put(V2f, self._col_sharding)
+            W = jax.device_put(W, self._col_sharding)
+            self._prepared = (V2f, W)
+        return self._prepared
