@@ -41,8 +41,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qchem_rs_tpu.ops import dfloat as dfl
 from qchem_rs_tpu.ops.angular import ncart
 from qchem_rs_tpu.ops.boys import boys
+from qchem_rs_tpu.ops.boys_df import boys_df
 from qchem_rs_tpu.ops.eri import PairGroup, _r2m_plan, build_pair_groups
 from qchem_rs_tpu.ops.mcmurchie import _r_plan, hermite_components, nhermite
 from qchem_rs_tpu.utils.system import MolecularSystem
@@ -88,6 +90,37 @@ SEG_UNITS = float(os.environ.get("QCHEM_SEG_UNITS", 6e8))
 #: payoff grows with system size (benzene: 2.9% of V2 work below 1e-6;
 #: naphthalene: 25%).
 F32_TILE_BOUND = float(os.environ.get("QCHEM_F32_BOUND", 0.0))
+
+
+def _kernel_mode() -> str:
+    """Tile-kernel mode: which arithmetic evaluates the per-tile integral
+    chain (the measured 74%+ of tile runtime under f64 emulation,
+    docs/PROFILE_r02.md).
+
+    - "pallas": the ops/eri_pallas.py Mosaic kernel — (hi, lo)-f32 pair
+      arithmetic on the VPU, R2m emitted contraction-ready. Default on TPU:
+      ~1e-14 relative, compiles in seconds (the fused-XLA df graph costs
+      15-370 s PER program on the TPU backend and native f64 pays the
+      emulation tax).
+    - "df": the same double-float arithmetic as a fused XLA graph (A/B
+      reference; pathological compile times on both backends).
+    - "f64": XLA native/emulated f64 (default on CPU, where hardware f64
+      beats simulated pairs).
+    QCHEM_KERNEL overrides; QCHEM_DF=0/1 is the older alias for f64/df."""
+    env = os.environ.get("QCHEM_KERNEL")
+    if env:
+        return env
+    env = os.environ.get("QCHEM_DF")
+    if env is not None:
+        return "df" if env == "1" else "f64"
+    return "pallas" if jax.default_backend() == "tpu" else "f64"
+
+
+#: f32-range guard for the df kernel: base[n] = (-2*alpha)^n F_n must stay
+#: below ~1e30 (double-float inherits float32's exponent range). alpha <=
+#: min(max p_bra, max p_ket); high exponents only occur in low-L s shells,
+#: so in practice this never trips for real basis sets.
+_DF_BASE_MAX = 1e30
 
 
 def _tile_units(m1: _ClassMeta, m2: _ClassMeta, T1: int, T2: int) -> float:
@@ -180,6 +213,108 @@ def _tile_vals(Lb: int, Lk: int, E1, p1, P1, E2, p2, P2):
         R2m, E1m, (((0,), (0,)), ((2,), (2,))), preferred_element_type=R2m.dtype
     )
     # contract (c*S2), batch T2: -> (T2, T1, A, C)
+    out = jax.lax.dot_general(
+        t1, E2m, (((1,), (0,)), ((2,), (2,))), preferred_element_type=R2m.dtype
+    )
+    return out.transpose(1, 2, 0, 3).reshape(T1 * A, T2 * C)
+
+
+def _r_table_tiles_df(L: int, p, PCx, PCy, PCz):
+    """Double-float Hermite Coulomb integrals R_{tuv}: same recursion as
+    _r_table_tiles but in (hi, lo)-f32 pair arithmetic (ops/dfloat.py) —
+    hardware VPU f32 instead of XLA's emulated f64 (measured ~20 G op/s).
+    p, PC* are df pairs of B-shaped f32 arrays; returns a df pair of
+    (H,) + B arrays."""
+    r2 = dfl.add_(dfl.add_(dfl.sqr(PCx), dfl.sqr(PCy)), dfl.sqr(PCz))
+    T = dfl.mul(p, r2)
+    F = boys_df(L, T)  # list of L+1 df pairs
+    m2p = dfl.mul_pow2(p, -2.0)
+    base = []
+    acc = dfl.const(1.0, like=p[0])
+    for n in range(L + 1):
+        base.append(dfl.mul(acc, F[n]))
+        if n < L:
+            acc = dfl.mul(acc, m2p)
+    if L == 0:
+        return (base[0][0][None], base[0][1][None])
+
+    onehot, idx1, idx2, coef = _r_plan(L)
+    H = len(hermite_components(L))
+    extra = (1,) * p[0].ndim
+    # onehot rows are exact {0,1} f32: selecting the PC component by
+    # multiply-add is error-free
+    ox, oy, oz = (
+        jnp.asarray(onehot[:, d], jnp.float32).reshape((H,) + extra)
+        for d in range(3)
+    )
+    PCs = (
+        ox * PCx[0][None] + oy * PCy[0][None] + oz * PCz[0][None],
+        ox * PCx[1][None] + oy * PCy[1][None] + oz * PCz[1][None],
+    )
+    # recursion coefficients are small integers: exact in f32
+    coef_f = jnp.asarray(coef, jnp.float32).reshape((H,) + extra)
+    idx1 = jnp.asarray(idx1)
+    idx2 = jnp.asarray(idx2)
+
+    z = jnp.zeros((H,) + p[0].shape, jnp.float32)
+    R = (z.at[0].set(base[L][0]), z.at[0].set(base[L][1]))
+    for n in range(L - 1, -1, -1):
+        # R = PCs * R[idx1] + coef * R[idx2]  (leading-axis gathers: cheap)
+        t1 = dfl.mul(PCs, (R[0][idx1], R[1][idx1]))
+        t2 = dfl.mul_f((R[0][idx2], R[1][idx2]), coef_f)
+        R = dfl.add_(t1, t2)
+        R = (R[0].at[0].set(base[n][0]), R[1].at[0].set(base[n][1]))
+    return R
+
+
+def _tile_vals_df(Lb: int, Lk: int, E1, p1, P1, E2, p2, P2):
+    """Double-float variant of _tile_vals: the whole elementwise chain
+    (geometry, Boys, R recursion, prefactor) runs in (hi, lo)-f32 pair
+    arithmetic on the hardware VPU; only the two Hermite->Cartesian
+    contractions stay emulated-f64 (error-free f32 matmul accumulation
+    does not exist on the MXU, and the contraction is the measured minor
+    cost). E1/E2 are f64 (T, n, A, S) tables; p1/P1/p2/P2 are df pairs.
+    Accuracy: ~1e-13 relative per integral (df floor + Boys tables)."""
+    T1, a, A, S1 = E1.shape
+    T2, c, C, S2 = E2.shape
+    tr2 = lambda x: (x[0].T, x[1].T)
+    p1t = tr2(p1)  # (a, T1) df
+    p2t = tr2(p2)  # (c, T2) df
+    bB = lambda x: (x[0][:, None, :, None], x[1][:, None, :, None])
+    bK = lambda x: (x[0][None, :, None, :], x[1][None, :, None, :])
+    ps = dfl.add(bB(p1t), bK(p2t))  # (a, c, T1, T2) df
+    pq = dfl.mul(bB(p1t), bK(p2t))
+    alpha = dfl.mul(pq, dfl.inv(ps))
+    P1t = (P1[0].transpose(2, 1, 0), P1[1].transpose(2, 1, 0))  # (3, a, T1)
+    P2t = (P2[0].transpose(2, 1, 0), P2[1].transpose(2, 1, 0))
+    PQ = [
+        dfl.sub(
+            bB((P1t[0][d], P1t[1][d])), bK((P2t[0][d], P2t[1][d]))
+        )
+        for d in range(3)
+    ]
+    R = _r_table_tiles_df(Lb + Lk, alpha, *PQ)  # (H,) + grid df
+    pref = dfl.mul(
+        dfl.mul(dfl.inv(pq), dfl.rsqrt(ps)),
+        dfl.const(2.0 * np.pi**2.5, like=ps[0]),
+    )
+    R = dfl.mul(R, (pref[0][None], pref[1][None]))
+
+    h_arr, ac_arr, sign_m = _r2m_plan(Lb, Lk, a, c)
+    H = R[0].shape[0]
+    hidx = jnp.asarray(h_arr)
+    acidx = jnp.asarray(ac_arr)
+    sgn = jnp.asarray(sign_m, jnp.float32)[None, :, None, None]  # exact +-1
+    Rf_hi = R[0].reshape(H, a * c, T1, T2)[hidx, acidx] * sgn
+    Rf_lo = R[1].reshape(H, a * c, T1, T2)[hidx, acidx] * sgn
+    # hand off to the (emulated-f64) contractions: one conversion add each
+    R2m = Rf_hi.astype(jnp.float64) + Rf_lo.astype(jnp.float64)
+
+    E1m = E1.transpose(1, 3, 2, 0).reshape(a * S1, A, T1)
+    E2m = E2.transpose(1, 3, 2, 0).reshape(c * S2, C, T2)
+    t1 = jax.lax.dot_general(
+        R2m, E1m, (((0,), (0,)), ((2,), (2,))), preferred_element_type=R2m.dtype
+    )
     out = jax.lax.dot_general(
         t1, E2m, (((1,), (0,)), ((2,), (2,))), preferred_element_type=R2m.dtype
     )
@@ -366,11 +501,30 @@ class TiledEriEngine:
         metas = self.layout.metas
         self._padded = [pad_group(g, m.npad) for g, m in zip(groups, metas)]
         self._padded32 = [tuple(a.astype(jnp.float32) for a in p) for p in self._padded]
+        mode = _kernel_mode()
+        if mode in ("df", "pallas"):
+            # df operands: E stays f64 (feeds the contractions only); p and
+            # P split into (hi, lo) f32 pairs for the elementwise chain
+            self._padded_df = [
+                (E,) + dfl.split_f64(p) + dfl.split_f64(P)
+                for (E, p, P) in self._padded
+            ]
+            # f32-range guard: per-class max exponent sum (host data)
+            cls = system.shell_classes
+            self._pmax = {
+                (m.la, m.lb): float(
+                    np.max(cls[m.la].alphas) + np.max(cls[m.lb].alphas)
+                )
+                for m in metas
+            }
         self._tasks = []  # (name, fn, segments, operands) per class pair/dtype
         use_f32 = F32_TILE_BOUND > 0 and bounds is not None
         for i1, m1 in enumerate(metas):
             for i2 in range(i1, len(metas)):
                 m2 = metas[i2]
+                kmode = mode
+                if mode in ("df", "pallas") and not self._df_in_range(m1, m2):
+                    kmode = "f64"
                 T1, T2 = _tile_shapes(m1, m2)
                 ti, tj, btile = _tile_list(
                     m1, m2, T1, T2,
@@ -388,14 +542,29 @@ class TiledEriEngine:
                         ))
                     if (~lo).any():
                         self._tasks.append(self._make_task(
-                            i1, i2, m1, m2, T1, T2, ti[~lo], tj[~lo]
+                            i1, i2, m1, m2, T1, T2, ti[~lo], tj[~lo],
+                            kernel=kmode,
                         ))
                 else:
                     self._tasks.append(
-                        self._make_task(i1, i2, m1, m2, T1, T2, ti, tj)
+                        self._make_task(i1, i2, m1, m2, T1, T2, ti, tj,
+                                        kernel=kmode)
                     )
 
-    def _make_task(self, i1, i2, m1, m2, T1, T2, ti, tj, f32: bool = False):
+    def _df_in_range(self, m1: _ClassMeta, m2: _ClassMeta) -> bool:
+        """base[n] = (-2 alpha)^n F_n must stay inside f32 range: alpha <=
+        min(bra, ket max exponent sum). High exponents live in s shells
+        (L contribution 0), so this never trips on real basis sets."""
+        L = m1.la + m1.lb + m2.la + m2.lb
+        if L == 0:
+            return True
+        amax = min(self._pmax[(m1.la, m1.lb)], self._pmax[(m2.la, m2.lb)])
+        return (2.0 * amax) ** L < _DF_BASE_MAX
+
+    def _make_task(
+        self, i1, i2, m1, m2, T1, T2, ti, tj, f32: bool = False,
+        kernel: str = "f64",
+    ):
         A, C = m1.A, m2.A
         rb, cb = m1.row_base, m2.row_base
         Lb, Lk = m1.la + m1.lb, m2.la + m2.lb
@@ -405,18 +574,34 @@ class TiledEriEngine:
         # computation at compile time (minutes per program), and would bake
         # the geometry into the executable (conformer sweeps would recompile
         # per geometry)
-        def block_program(V2, xs, E1, p1, P1, E2, p2, P2):
+        def block_program(V2, xs, *ops):
             def body(carry, x):
                 ti, tj = x
                 zero = jnp.zeros((), ti.dtype)
                 sl = lambda arr, t, T: jax.lax.dynamic_slice(
                     arr, (t,) + (zero,) * (arr.ndim - 1), (T,) + arr.shape[1:]
                 )
-                vals = _tile_vals(
-                    Lb, Lk,
-                    sl(E1, ti, T1), sl(p1, ti, T1), sl(P1, ti, T1),
-                    sl(E2, tj, T2), sl(p2, tj, T2), sl(P2, tj, T2),
-                )
+                if kernel in ("df", "pallas"):
+                    from qchem_rs_tpu.ops.eri_pallas import tile_vals_pallas
+
+                    tile_fn = tile_vals_pallas if kernel == "pallas" else _tile_vals_df
+                    E1, p1h, p1l, P1h, P1l, E2, p2h, p2l, P2h, P2l = ops
+                    vals = tile_fn(
+                        Lb, Lk,
+                        sl(E1, ti, T1),
+                        (sl(p1h, ti, T1), sl(p1l, ti, T1)),
+                        (sl(P1h, ti, T1), sl(P1l, ti, T1)),
+                        sl(E2, tj, T2),
+                        (sl(p2h, tj, T2), sl(p2l, tj, T2)),
+                        (sl(P2h, tj, T2), sl(P2l, tj, T2)),
+                    )
+                else:
+                    E1, p1, P1, E2, p2, P2 = ops
+                    vals = _tile_vals(
+                        Lb, Lk,
+                        sl(E1, ti, T1), sl(p1, ti, T1), sl(P1, ti, T1),
+                        sl(E2, tj, T2), sl(p2, tj, T2), sl(P2, tj, T2),
+                    )
                 carry = jax.lax.dynamic_update_slice(
                     carry, vals.astype(carry.dtype), (rb + ti * A, cb + tj * C)
                 )
@@ -442,10 +627,16 @@ class TiledEriEngine:
              jnp.asarray(tj[s * seg : (s + 1) * seg]))
             for s in range(nseg)
         ]
-        padded = self._padded32 if f32 else self._padded
+        if kernel in ("df", "pallas"):
+            padded = self._padded_df
+        elif f32:
+            padded = self._padded32
+        else:
+            padded = self._padded
         operands = padded[i1] + padded[i2]
+        suffix = "_f32" if f32 else {"df": "_df", "pallas": "_pl"}.get(kernel, "")
         return (
-            f"v2_{m1.la}{m1.lb}_{m2.la}{m2.lb}" + ("_f32" if f32 else ""),
+            f"v2_{m1.la}{m1.lb}_{m2.la}{m2.lb}" + suffix,
             jax.jit(block_program, donate_argnums=(0,) if DONATE_CARRY else ()),
             segments,
             operands,
