@@ -168,6 +168,13 @@ def cmd_rhf(args) -> int:
     print(f"nuclear repulsion energy: {out.nuclear_repulsion:3.3f}")
     print(f"hartree fock energy: {out.total_energy():3.3f}")
     print(f"orbital energies: {_fmt_orbitals(out.orbital_energies)}")
+    if getattr(args, "gradient", False):
+        from qchem_rs_tpu.models.gradients import rhf_gradient
+
+        g = rhf_gradient(system, cfg, output=out)
+        print("nuclear gradient (Hartree/Bohr):")
+        for atom, row in zip(system.atoms, g):
+            print(f"  {atom.ordinal:3d}  {row[0]: .8f} {row[1]: .8f} {row[2]: .8f}")
     return 0
 
 
@@ -255,6 +262,12 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_rhf = sub.add_parser("rhf", help="restricted Hartree-Fock single point")
+    p_rhf.add_argument(
+        "--gradient",
+        action="store_true",
+        help="also print analytic nuclear gradients (jax.grad through the "
+        "differentiable integrals — beyond the reference's capabilities)",
+    )
     _common_flags(p_rhf, uhf=False)
     p_rhf.set_defaults(fn=cmd_rhf)
 
