@@ -53,3 +53,27 @@ def test_pair_jk_screening_consistent(data_dir):
     Jl, Kl = loose.jk(jnp.asarray(D))
     assert np.abs(np.asarray(Jt) - np.asarray(Jl)).max() < 1e-5
     assert np.abs(np.asarray(Kt) - np.asarray(Kl)).max() < 1e-5
+
+
+def test_pair_mode_rhf_uhf_energies(data_dir):
+    """fock_mode="pair" reaches the in-core fixed point (RHF + UHF)."""
+    import dataclasses
+
+    from qchem_rs_tpu import (
+        HartreeFockConfig,
+        restricted_hartree_fock,
+        unrestricted_hartree_fock,
+    )
+
+    b = BasisSet.load(f"{data_dir}/basis/STO-3G.json")
+    s = MolecularSystem.load(f"{data_dir}/mol/water.json", b)
+    cfg = HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    pair = dataclasses.replace(cfg, fock_mode="pair")
+    r_ref = restricted_hartree_fock(s, cfg)
+    r_pair = restricted_hartree_fock(s, pair)
+    assert r_pair.converged
+    assert abs(r_pair.total_energy() - r_ref.total_energy()) < 1e-9
+    u_ref = unrestricted_hartree_fock(s, cfg)
+    u_pair = unrestricted_hartree_fock(s, pair)
+    assert u_pair.converged
+    assert abs(u_pair.total_energy() - u_ref.total_energy()) < 1e-9
