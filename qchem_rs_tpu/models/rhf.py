@@ -334,6 +334,82 @@ def _rhf_scf_direct(
     return jax.lax.while_loop(cond, body, init)
 
 
+def _rhf_scf_hostloop(
+    H, X, S, nocc: int, config: HartreeFockConfig, jk_host, density_guess=None
+) -> _ScfState:
+    """Host-driven SCF for the STREAMING direct builder (ops/fock_stream.py):
+    ``jk_host(D)`` executes one bounded device program per tile segment, so
+    arbitrarily large systems never trip the backend's ~60 s execution
+    watchdog (a single jitted while_loop would). The per-iteration dense
+    algebra runs as one small jitted step program."""
+    n = H.shape[0]
+    diis_min, diis_max = config.diis_window(4, 6)
+    level_shift = config.level_shift
+
+    @jax.jit
+    def step(D, diis, J, K, prev_e):
+        G = J - 0.5 * K
+        F = H + G
+        err = F @ D @ S - S @ D @ F
+        F, diis = diis_apply(diis, err, F, diis_min)
+        if level_shift != 0.0:
+            Fp = X.T @ F @ X
+            SX = S @ X
+            Pp = SX.T @ (0.5 * D) @ SX
+            Fp = Fp + level_shift * (jnp.eye(n) - Pp)
+            w, Cp = jnp.linalg.eigh(Fp)
+            C = X @ Cp
+        else:
+            C, w = scf.solve_fock(F, X)
+        D_new = scf.density_from_coeffs(C, nocc, scale=2.0)
+        d_change = D_new - D
+        D2 = D + config.mixing_factor * d_change
+        energy = 0.5 * jnp.sum(D2 * (2.0 * H + G))
+        if config.convergence_metric == "energy":
+            rms = jnp.abs(energy - prev_e)
+        elif config.convergence_metric == "diis_err":
+            rms = jnp.max(jnp.abs(err))
+        else:
+            rms = scf.density_rms(d_change, config.convergence_metric)
+        return D2, diis, energy, rms, w, C
+
+    D = (
+        scf.huckel_guess(H, S, X, nocc, scale=2.0)
+        if density_guess is None
+        else jnp.asarray(density_guess)
+    )
+    diis = diis_init(diis_max, n)
+    energy = jnp.zeros(())
+    w = jnp.zeros(n)
+    C = jnp.zeros((n, n))
+    rms = jnp.asarray(jnp.inf)
+    converged = False
+    passes = 0
+    # reference bound: 0..=max_iterations (rhf.rs:66)
+    for _ in range(config.max_iterations + 1):
+        J, K = jk_host(D)
+        D, diis, energy, rms, w, C = step(D, diis, J, K, energy)
+        passes += 1
+        if config.verbose:
+            print(
+                f"iteration {passes - 1:<4} - electronic energy "
+                f"{float(energy):1.4f}. density rms {float(rms):1.4e}"
+            )
+        if float(rms) < config.epsilon:
+            converged = True
+            break
+    return _ScfState(
+        iteration=jnp.asarray(passes, jnp.int32),
+        density=D,
+        diis=diis,
+        energy=energy,
+        rms=rms,
+        converged=jnp.asarray(converged),
+        orbital_energies=w,
+        coefficients=C,
+    )
+
+
 def restricted_hartree_fock(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
@@ -361,7 +437,6 @@ def restricted_hartree_fock(
     t0 = time.perf_counter()
     if config.fock_mode in ("direct", "pair"):
         from qchem_rs_tpu.ops import one_electron
-        from qchem_rs_tpu.ops.fock import DirectFockBuilder
         from qchem_rs_tpu.ops.fock_pair import PairSpaceFockBuilder
 
         S = one_electron.overlap(system, positions)
@@ -388,16 +463,15 @@ def restricted_hartree_fock(
 
             st = jax.jit(run)(H, X, S, V2f, W, guess)
         else:
-            builder = DirectFockBuilder(
+            # streaming direct: tile-engine integrals digested into J/K on
+            # the fly (ops/fock_stream.py), host-driven SCF so every device
+            # call stays under the execution watchdog at any system size
+            from qchem_rs_tpu.ops.fock_stream import StreamingFockBuilder
+
+            builder = StreamingFockBuilder(
                 system, threshold=config.screening_threshold
             )
-            st = jax.jit(
-                lambda H, X, S, g: _rhf_scf_direct(
-                    H, X, S, nocc, config, builder._jk_impl, g
-                )
-            )(H, X, S, guess) if warm else jax.jit(
-                lambda H, X, S: _rhf_scf_direct(H, X, S, nocc, config, builder._jk_impl)
-            )(H, X, S)
+            st = _rhf_scf_hostloop(H, X, S, nocc, config, builder.jk, guess)
     else:
         # modular in-core path: per-class-pair V2 programs + one SCF program
         ones, engine = _incore_tools(system, config)

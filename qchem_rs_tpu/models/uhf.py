@@ -244,6 +244,100 @@ def _uhf_scf_direct(
     )
 
 
+def _uhf_scf_hostloop(
+    H, X, S, nocc, config: HartreeFockConfig, jk_host, density_guess=None
+) -> _UhfState:
+    """Host-driven UHF for the streaming direct builder (cf. models/rhf.py
+    _rhf_scf_hostloop): bounded device programs per tile segment, small
+    jitted per-iteration step."""
+    n = H.shape[0]
+    diis_min, diis_max = config.diis_window(2, 8)
+    level_shift = config.level_shift
+    occ_mask = jnp.stack(
+        [jnp.arange(n) < nocc[0], jnp.arange(n) < nocc[1]]
+    ).astype(H.dtype)
+
+    @jax.jit
+    def step(D, diis, J, K, prev_e):
+        G = J[None] - K
+        F = H[None] + G
+        err = F @ D @ S[None] - S[None] @ D @ F
+        F, diis = jax.vmap(lambda s, e, f: diis_apply(s, e, f, diis_min))(diis, err, F)
+        if level_shift != 0.0:
+            SX = S @ X
+
+            def shifted_solve(f, d):
+                Fp = X.T @ f @ X
+                Pp = SX.T @ d @ SX
+                Fp = Fp + level_shift * (jnp.eye(n) - Pp)
+                w, Cp = jnp.linalg.eigh(Fp)
+                return X @ Cp, w
+
+            C, w = jax.vmap(shifted_solve)(F, D)
+        else:
+            C, w = jax.vmap(lambda f: scf.solve_fock(f, X))(F)
+        D_new = jnp.einsum("sik,sk,sjk->sij", C, occ_mask, C)
+        d_change = D_new - D
+        D2 = D + config.mixing_factor * d_change
+        energy = 0.5 * jnp.sum(D2 * (2.0 * H[None] + G))
+        metric = config.convergence_metric
+        if metric == "energy":
+            rms = jnp.abs(energy - prev_e)
+            conv = rms < config.epsilon
+        elif metric == "diis_err":
+            rms = jnp.max(jnp.abs(err))
+            conv = rms < config.epsilon
+        elif metric == "diag_rms":
+            per_spin = scf.density_rms(d_change, metric)
+            rms = jnp.sum(per_spin) / 2.0
+            conv = rms / 2.0 < config.epsilon  # uhf.rs:137-139 double-halving
+        else:
+            per_spin = scf.density_rms(d_change, metric)
+            rms = jnp.mean(per_spin)
+            conv = rms < config.epsilon
+        return D2, diis, energy, rms, conv, w, C
+
+    if density_guess is None:
+        D = jnp.stack(
+            [
+                scf.huckel_guess(H, S, X, nocc[0], scale=1.0),
+                scf.huckel_guess(H, S, X, nocc[1], scale=1.0),
+            ]
+        )
+    else:
+        D = jnp.asarray(density_guess)
+    diis = DiisState(
+        errors=jnp.zeros((2, diis_max, n, n)),
+        focks=jnp.zeros((2, diis_max, n, n)),
+        count=jnp.zeros((2,), jnp.int32),
+    )
+    energy = jnp.zeros(())
+    w = jnp.zeros((2, n))
+    C = jnp.zeros((2, n, n))
+    rms = jnp.asarray(jnp.inf)
+    converged = False
+    passes = 0
+    for _ in range(config.max_iterations + 1):
+        J, K = jk_host(D)
+        D, diis, energy, rms, conv, w, C = step(D, diis, J, K, energy)
+        passes += 1
+        if config.verbose:
+            print(f"iteration {passes - 1} - density rms {float(rms):03.3e}")
+        if bool(conv):
+            converged = True
+            break
+    return _UhfState(
+        iteration=jnp.asarray(passes, jnp.int32),
+        density=D,
+        diis=diis,
+        energy=energy,
+        rms=rms,
+        converged=jnp.asarray(converged),
+        orbital_energies=w,
+        coefficients=C,
+    )
+
+
 from weakref import WeakKeyDictionary
 
 _UHF_TOOLS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
@@ -342,7 +436,6 @@ def unrestricted_hartree_fock(
     guess = jnp.asarray(density_guess) if warm else None
     t0 = time.perf_counter()
     if config.fock_mode in ("direct", "pair"):
-        from qchem_rs_tpu.ops.fock import DirectFockBuilder
         from qchem_rs_tpu.ops.fock_pair import PairSpaceFockBuilder
 
         S = one_electron.overlap(system, positions)
@@ -366,18 +459,21 @@ def unrestricted_hartree_fock(
                 return _uhf_scf_direct(H, X, S, nocc, config, jk, g)
 
             st = jax.jit(run)(H, X, S, V2f, W, guess)
-        elif warm:
-            builder = DirectFockBuilder(system, threshold=config.screening_threshold)
-            st = jax.jit(
-                lambda H, X, S, g: _uhf_scf_direct(
-                    H, X, S, nocc, config, builder._jk_impl, g
-                )
-            )(H, X, S, guess)
         else:
-            builder = DirectFockBuilder(system, threshold=config.screening_threshold)
-            st = jax.jit(
-                lambda H, X, S: _uhf_scf_direct(H, X, S, nocc, config, builder._jk_impl)
-            )(H, X, S)
+            # streaming direct: tile-engine integrals digested into per-spin
+            # J/K on the fly, host-driven loop (cf. models/rhf.py)
+            from qchem_rs_tpu.ops.fock_stream import StreamingFockBuilder
+
+            builder = StreamingFockBuilder(
+                system, threshold=config.screening_threshold
+            )
+
+            def jk_host(D):
+                Ja, Ka = builder.jk(D[0])
+                Jb, Kb = builder.jk(D[1])
+                return Ja + Jb, jnp.stack([Ka, Kb])
+
+            st = _uhf_scf_hostloop(H, X, S, nocc, config, jk_host, guess)
     else:
         ones, engine = _incore_tools(system, config)
         cones = getattr(engine, "_compiled_ones", ones)

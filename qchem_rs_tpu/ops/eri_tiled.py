@@ -495,6 +495,9 @@ class TiledEriEngine:
                 for o in [np.argsort(-b, kind="stable")]
             ]
             bounds = [b[np.argsort(-b, kind="stable")] for b in bounds]
+        #: per-class Schwarz bounds in the (sorted) stored pair order, for
+        #: consumers building their own tile lists (ops/fock_stream.py)
+        self._sorted_bounds = bounds
         self.layout = PairSpaceLayout(system, groups)
         self.threshold = screening_threshold
 

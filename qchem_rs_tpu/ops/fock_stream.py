@@ -1,0 +1,248 @@
+"""Streaming integral-direct Fock build on the tile engine.
+
+True direct SCF — nothing pair-space-sized is ever stored — at tile-engine
+speed. The round-1 ``DirectFockBuilder`` recomputed integrals through an
+8-image gather/scatter-add architecture that profiling measured at ~99%
+digestion overhead (docs/PROFILE_r02.md); here every tile block of the
+pair-space ERI matrix is digested into J/K THE MOMENT it is computed:
+
+- J accumulates in pair space: ``Jp[rows] += vals @ dJ[cols]`` and the
+  transpose role ``Jp[cols] += vals.T @ dJ[rows]`` — contiguous
+  dynamic-slice add-updates, no scatters (rows/cols of a tile are
+  contiguous V2 row ranges).
+- K accumulates as a dense (nao, nao) carry via ONE-HOT MXU reductions:
+  for a block with row AO ids (i, j) and column AO ids (k, l),
+  ``K += Oh(i)^T [vals * D[j, l]] Oh(k)`` and the three sibling
+  orientations — matmuls against {0,1} one-hot matrices instead of
+  scatter-adds (the round-2 lesson: TPU scatters are catastrophically
+  slow, matmuls are free).
+
+Coverage bookkeeping: tasks enumerate class pairs i1 <= i2 and, within a
+same-class pair, SQUARE tiles on/above the diagonal. Every block is
+digested in both roles (block and transpose); self-transposed diagonal
+tiles are pre-scaled by 1/2, so the total equals the full mirrored-V2f
+contraction exactly (ops/fock_pair.py's J/K formulas). K's transpose role
+is algebraic: role2 of every block is the transpose of role1 (D symmetric),
+so K = K1 + K1^T at the end — digested once, not twice.
+
+Memory: carries are Jp (M,) + K (nao, nao) — the reference's design wall
+(dense n^4 materialization, /root/reference/core/src/hf/rhf.rs:45,58-62)
+and even the pair-space matrices are gone; system size is bounded only by
+the O(n^2) pair tensors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from qchem_rs_tpu.ops.eri_tiled import (
+    TiledEriEngine,
+    _tile_list,
+    _tile_shapes,
+    _tile_units,
+    SEG_UNITS,
+    DONATE_CARRY,
+    _tile_vals,
+    _tile_vals_df,
+    _kernel_mode,
+)
+from qchem_rs_tpu.ops.fock_pair import pair_row_ao
+from qchem_rs_tpu.utils.system import MolecularSystem
+
+
+class StreamingFockBuilder:
+    """Integral-direct J/K: recompute screened tile blocks every call and
+    digest them immediately. ``jk(D) -> (J, K)`` in the working basis."""
+
+    def __init__(
+        self,
+        system: MolecularSystem,
+        threshold: float = 1e-12,
+        positions=None,
+    ):
+        self.system = system
+        self.nao = system.n_basis_cart()
+        eng = TiledEriEngine(system, threshold, positions=positions)
+        self.engine = eng
+        layout = eng.layout
+        self.M = layout.M
+        row_i, row_j, dup = pair_row_ao(layout)
+        nao = self.nao
+        pad = row_i < 0
+        ci = np.where(pad, 0, row_i).astype(np.int32)
+        cj = np.where(pad, 0, row_j).astype(np.int32)
+        dead = pad | dup
+        # J ket weight 2 - delta (fock_pair._wj) and the K orientation
+        # weight u: 1 off-diagonal AO pair, 1/2 diagonal, 0 dead
+        self._wj = jnp.asarray(np.where(dead, 0.0, np.where(ci == cj, 1.0, 2.0)))
+        self._uk = jnp.asarray(np.where(dead, 0.0, np.where(ci == cj, 0.5, 1.0)))
+        self._ri = jnp.asarray(ci)
+        self._rj = jnp.asarray(cj)
+        self._pidx = jnp.asarray((ci * nao + cj).astype(np.int32))
+        self._pmap = jnp.asarray(layout.pmap)
+
+        # tasks: like the engine's, but same-class tiles are SQUARE so every
+        # kept tile is strictly-upper or exactly diagonal (the coverage
+        # argument above needs self-transposed diagonal tiles)
+        mode = _kernel_mode()
+        metas = eng.layout.metas
+        bounds = getattr(eng, "_bounds", None)
+        self._tasks = []
+        for i1, m1 in enumerate(metas):
+            for i2 in range(i1, len(metas)):
+                m2 = metas[i2]
+                kmode = mode
+                if mode in ("df", "pallas") and not eng._df_in_range(m1, m2):
+                    kmode = "f64"
+                T1, T2 = _tile_shapes(m1, m2)
+                same = i2 == i1
+                if same:
+                    T1 = T2 = min(T1, T2)
+                b1 = b2 = None
+                if eng.threshold > 0 and eng._sorted_bounds is not None:
+                    b1 = eng._sorted_bounds[i1]
+                    b2 = eng._sorted_bounds[i2]
+                ti, tj, _ = _tile_list(
+                    m1, m2, T1, T2, b1, b2, eng.threshold, same=same
+                )
+                if len(ti) == 0:
+                    continue
+                self._tasks.append(
+                    self._make_task(i1, i2, m1, m2, T1, T2, ti, tj, same, kmode)
+                )
+        self._compiled_jk = None
+
+    def _make_task(self, i1, i2, m1, m2, T1, T2, ti, tj, same, kernel):
+        A, C = m1.A, m2.A
+        rb, cb = m1.row_base, m2.row_base
+        Lb, Lk = m1.la + m1.lb, m2.la + m2.lb
+        nao = self.nao
+        ri, rj, uk, wj, pidx = self._ri, self._rj, self._uk, self._wj, self._pidx
+
+        def stream_program(Jp, K, D, xs, *ops):
+            Dflat = D.reshape(-1)
+            dJ_all = jnp.take(Dflat, pidx) * wj  # (M,)
+
+            def body(carry, x):
+                Jp, K = carry
+                t_i, t_j = x
+                zero = jnp.zeros((), t_i.dtype)
+                sl = lambda arr, t, T: jax.lax.dynamic_slice(
+                    arr, (t,) + (zero,) * (arr.ndim - 1), (T,) + arr.shape[1:]
+                )
+                if kernel in ("df", "pallas"):
+                    from qchem_rs_tpu.ops.eri_pallas import tile_vals_pallas
+
+                    tile_fn = tile_vals_pallas if kernel == "pallas" else _tile_vals_df
+                    E1, p1h, p1l, P1h, P1l, E2, p2h, p2l, P2h, P2l = ops
+                    vals = tile_fn(
+                        Lb, Lk,
+                        sl(E1, t_i, T1),
+                        (sl(p1h, t_i, T1), sl(p1l, t_i, T1)),
+                        (sl(P1h, t_i, T1), sl(P1l, t_i, T1)),
+                        sl(E2, t_j, T2),
+                        (sl(p2h, t_j, T2), sl(p2l, t_j, T2)),
+                        (sl(P2h, t_j, T2), sl(P2l, t_j, T2)),
+                    )
+                else:
+                    E1, p1, P1, E2, p2, P2 = ops
+                    vals = _tile_vals(
+                        Lb, Lk,
+                        sl(E1, t_i, T1), sl(p1, t_i, T1), sl(P1, t_i, T1),
+                        sl(E2, t_j, T2), sl(p2, t_j, T2), sl(P2, t_j, T2),
+                    )
+                r0 = rb + t_i * A  # first global V2 row of this block
+                c0 = cb + t_j * C
+                if same:
+                    # self-transposed diagonal tiles count every ordered
+                    # element twice across the two roles: halve them
+                    vals = vals * jnp.where(t_i == t_j, 0.5, 1.0)
+                sl1 = lambda a, s, n: jax.lax.dynamic_slice(a, (s,), (n,))
+                nr, nc = T1 * A, T2 * C
+                # --- J: pair-space contiguous accumulation, both roles ---
+                Jrow = vals @ sl1(dJ_all, c0, nc)
+                Jcol = vals.T @ sl1(dJ_all, r0, nr)
+                Jp2 = jax.lax.dynamic_update_slice(
+                    Jp, sl1(Jp, r0, nr) + Jrow, (r0,)
+                )
+                Jp2 = jax.lax.dynamic_update_slice(
+                    Jp2, sl1(Jp2, c0, nc) + Jcol, (c0,)
+                )
+                # --- K: one-hot MXU digestion (role1 only; role2 is the
+                # final transpose) ---
+                bri = sl1(ri, r0, nr)
+                brj = sl1(rj, r0, nr)
+                bur = sl1(uk, r0, nr)
+                cki = sl1(ri, c0, nc)
+                clj = sl1(rj, c0, nc)
+                cuq = sl1(uk, c0, nc)
+                lanes = jnp.arange(nao)
+                oh = lambda ids, w: (lanes[None, :] == ids[:, None]) * w[:, None]
+                Ori = oh(bri, bur)  # (nr, nao), orientation weight folded
+                Orj = oh(brj, bur)
+                Ock = oh(cki, cuq)
+                Ocl = oh(clj, cuq)
+                g = lambda jj, ll: D[jj][:, ll]  # (nr, nc) gather of D[j, l]
+                t1 = Ori.T @ (vals * g(brj, clj)) @ Ock
+                t2 = Ori.T @ (vals * g(brj, cki)) @ Ocl
+                t3 = Orj.T @ (vals * g(bri, clj)) @ Ock
+                t4 = Orj.T @ (vals * g(bri, cki)) @ Ocl
+                K2 = K + (t1 + t2 + t3 + t4)
+                return (Jp2, K2), None
+
+            (Jp, K), _ = jax.lax.scan(body, (Jp, K), xs)
+            return Jp, K
+
+        per_tile = _tile_units(m1, m2, T1, T2)
+        seg = min(len(ti), max(1, int(SEG_UNITS // max(per_tile, 1.0))))
+        nseg = -(-len(ti) // seg)
+        # NO repeat-padding of the tail segment (the V2 engine's idempotent
+        # re-write trick would DOUBLE-DIGEST here): the tail runs as its own
+        # shorter segment, costing at most one extra program shape
+        segments = [
+            (jnp.asarray(ti[s * seg : (s + 1) * seg]),
+             jnp.asarray(tj[s * seg : (s + 1) * seg]))
+            for s in range(nseg)
+        ]
+        name = f"jk_{m1.la}{m1.lb}_{m2.la}{m2.lb}"
+        padded = (
+            self.engine._padded_df
+            if kernel in ("df", "pallas")
+            else self.engine._padded
+        )
+        operands = padded[i1] + padded[i2]
+        return (
+            name,
+            jax.jit(
+                stream_program,
+                donate_argnums=(0, 1) if DONATE_CARRY else (),
+            ),
+            segments,
+            operands,
+        )
+
+    # --- public API ---------------------------------------------------------
+
+    def jk_cart(self, D):
+        """Cartesian J/K for one density. Host-driven loop over compiled
+        per-class-pair programs (each segment one device call)."""
+        nao = self.nao
+        Jp = jnp.zeros((self.M,), jnp.float64)
+        K1 = jnp.zeros((nao, nao), jnp.float64)
+        D = jnp.asarray(D)
+        for name, fn, segments, operands in self._tasks:
+            for xs in segments:
+                Jp, K1 = fn(Jp, K1, D, xs, *operands)
+        J = jnp.take(Jp, self._pmap).reshape(nao, nao)
+        K = K1 + K1.T
+        return J, K
+
+    def jk(self, D):
+        if self.system.spherical:
+            T = jnp.asarray(self.system.sph_T)
+            J, K = self.jk_cart(T @ jnp.asarray(D) @ T.T)
+            return T.T @ J @ T, T.T @ K @ T
+        return self.jk_cart(D)
