@@ -62,8 +62,17 @@ class StreamingFockBuilder:
         system: MolecularSystem,
         threshold: float = 1e-12,
         positions=None,
+        mesh=None,
+        axis: str = "q",
     ):
+        """``mesh``: optional jax.sharding.Mesh — tile lists are sharded over
+        ``axis`` (shell-quartet data parallelism, SURVEY.md §2.2 item 1) and
+        each device digests its tiles into local J/K partials reduced with
+        psum over ICI."""
         self.system = system
+        self.mesh = mesh
+        self.axis = axis
+        self.ndev = 1 if mesh is None else mesh.shape[axis]
         self.nao = system.n_basis_cart()
         eng = TiledEriEngine(system, threshold, positions=positions)
         self.engine = eng
@@ -122,13 +131,19 @@ class StreamingFockBuilder:
         nao = self.nao
         ri, rj, uk, wj, pidx = self._ri, self._rj, self._uk, self._wj, self._pidx
 
-        def stream_program(Jp, K, D, xs, *ops):
+        def digest(D, xs, *ops):
+            """Scan the (ti, tj) tile list from ZERO carries; returns the
+            (dJp, dK) contribution. Sentinel tiles (ti < 0, mesh padding)
+            digest with weight zero."""
             Dflat = D.reshape(-1)
             dJ_all = jnp.take(Dflat, pidx) * wj  # (M,)
 
             def body(carry, x):
                 Jp, K = carry
                 t_i, t_j = x
+                valid = (t_i >= 0).astype(jnp.float64)
+                t_i = jnp.maximum(t_i, 0)
+                t_j = jnp.maximum(t_j, 0)
                 zero = jnp.zeros((), t_i.dtype)
                 sl = lambda arr, t, T: jax.lax.dynamic_slice(
                     arr, (t,) + (zero,) * (arr.ndim - 1), (T,) + arr.shape[1:]
@@ -160,6 +175,7 @@ class StreamingFockBuilder:
                     # self-transposed diagonal tiles count every ordered
                     # element twice across the two roles: halve them
                     vals = vals * jnp.where(t_i == t_j, 0.5, 1.0)
+                vals = vals * valid  # sentinel (mesh-padding) tiles: zero
                 sl1 = lambda a, s, n: jax.lax.dynamic_slice(a, (s,), (n,))
                 nr, nc = T1 * A, T2 * C
                 # --- J: pair-space contiguous accumulation, both roles ---
@@ -193,18 +209,63 @@ class StreamingFockBuilder:
                 K2 = K + (t1 + t2 + t3 + t4)
                 return (Jp2, K2), None
 
-            (Jp, K), _ = jax.lax.scan(body, (Jp, K), xs)
-            return Jp, K
+            Jp0 = jnp.zeros((self.M,), jnp.float64)
+            K0 = jnp.zeros((nao, nao), jnp.float64)
+            (dJp, dK), _ = jax.lax.scan(body, (Jp0, K0), xs)
+            return dJp, dK
+
+        if self.mesh is None:
+
+            def stream_program(Jp, K, D, xs, *ops):
+                dJp, dK = digest(D, xs, *ops)
+                return Jp + dJp, K + dK
+
+        else:
+            try:
+                from jax import shard_map as _shard_map  # jax >= 0.8
+
+                def shard_map(f, mesh, in_specs, out_specs):
+                    return _shard_map(
+                        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                        check_vma=False,
+                    )
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            mesh, ax = self.mesh, self.axis
+
+            def stream_program(Jp, K, D, xs, *ops):
+                def local(D, xs, *ops):
+                    dJp, dK = digest(D, xs, *ops)
+                    return (
+                        jax.lax.psum(dJp, ax),
+                        jax.lax.psum(dK, ax),
+                    )
+
+                dJp, dK = shard_map(
+                    local,
+                    mesh,
+                    in_specs=(P(), (P(ax), P(ax))) + tuple(P() for _ in ops),
+                    out_specs=(P(), P()),
+                )(D, xs, *ops)
+                return Jp + dJp, K + dK
 
         per_tile = _tile_units(m1, m2, T1, T2)
         seg = min(len(ti), max(1, int(SEG_UNITS // max(per_tile, 1.0))))
-        nseg = -(-len(ti) // seg)
-        # NO repeat-padding of the tail segment (the V2 engine's idempotent
-        # re-write trick would DOUBLE-DIGEST here): the tail runs as its own
-        # shorter segment, costing at most one extra program shape
+        # each device scans seg tiles: a segment holds seg * ndev
+        seg_total = seg * self.ndev
+        nseg = -(-len(ti) // seg_total)
+        # NO repeat-padding (the V2 engine's idempotent re-write trick would
+        # DOUBLE-DIGEST here): pad with sentinel (-1) tiles, digested with
+        # weight zero
+        pad = nseg * seg_total - len(ti)
+        if pad:
+            ti = np.concatenate([ti, np.full(pad, -1, ti.dtype)])
+            tj = np.concatenate([tj, np.full(pad, -1, tj.dtype)])
         segments = [
-            (jnp.asarray(ti[s * seg : (s + 1) * seg]),
-             jnp.asarray(tj[s * seg : (s + 1) * seg]))
+            (jnp.asarray(ti[s * seg_total : (s + 1) * seg_total]),
+             jnp.asarray(tj[s * seg_total : (s + 1) * seg_total]))
             for s in range(nseg)
         ]
         name = f"jk_{m1.la}{m1.lb}_{m2.la}{m2.lb}"

@@ -32,7 +32,7 @@ def test_sharded_jk_matches_dense(water):
     Jd = np.einsum("ijkl,kl->ij", E, D)
     Kd = np.einsum("ikjl,kl->ij", E, D)
     mesh = data_mesh(8, axis="q")
-    builder = ShardedFockBuilder(water, mesh, axis="q", threshold=0.0, chunk_quartets=16)
+    builder = ShardedFockBuilder(water, mesh, axis="q", threshold=0.0)
     J, K = builder.jk(D)
     np.testing.assert_allclose(np.asarray(J), Jd, atol=1e-10)
     np.testing.assert_allclose(np.asarray(K), Kd, atol=1e-10)
