@@ -182,6 +182,28 @@ def _scf_statics(config: HartreeFockConfig, nocc: int) -> tuple:
     )
 
 
+def _direct_tools(system: MolecularSystem, config: HartreeFockConfig, kind: str):
+    """Cached pair/streaming Fock builders (screening + tile lists + jitted
+    programs survive across runs — rebuilding them per call redid Schwarz
+    bounds and recompiled everything)."""
+    key = (kind, config.screening_threshold)
+    cache = _RHF_TOOLS.setdefault(system, {})
+    if key not in cache:
+        if kind == "pair":
+            from qchem_rs_tpu.ops.fock_pair import PairSpaceFockBuilder
+
+            cache[key] = PairSpaceFockBuilder(
+                system, threshold=config.screening_threshold
+            )
+        else:
+            from qchem_rs_tpu.ops.fock_stream import StreamingFockBuilder
+
+            cache[key] = StreamingFockBuilder(
+                system, threshold=config.screening_threshold
+            )
+    return cache[key]
+
+
 def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
     """Modular per-system programs: 1e integrals + tiled pair-space engine."""
     from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
@@ -437,7 +459,6 @@ def restricted_hartree_fock(
     t0 = time.perf_counter()
     if config.fock_mode in ("direct", "pair"):
         from qchem_rs_tpu.ops import one_electron
-        from qchem_rs_tpu.ops.fock_pair import PairSpaceFockBuilder
 
         S = one_electron.overlap(system, positions)
         H = one_electron.kinetic(system, positions) + one_electron.nuclear(
@@ -449,11 +470,9 @@ def restricted_hartree_fock(
             # pair-space matrices built once (no n^4 tensor, no per-iteration
             # integral recomputation); passed as jit ARGUMENTS so the GB-scale
             # operands don't get baked into the executable
-            builder = PairSpaceFockBuilder(
-                system, threshold=config.screening_threshold
-            )
+            builder = _direct_tools(system, config, "pair")
             t1 = time.perf_counter()
-            V2f, W = builder.prepare()
+            V2f, W = builder.prepare(force=True)
             W.block_until_ready()
             timings["eri_s"] = time.perf_counter() - t1
 
@@ -466,11 +485,7 @@ def restricted_hartree_fock(
             # streaming direct: tile-engine integrals digested into J/K on
             # the fly (ops/fock_stream.py), host-driven SCF so every device
             # call stays under the execution watchdog at any system size
-            from qchem_rs_tpu.ops.fock_stream import StreamingFockBuilder
-
-            builder = StreamingFockBuilder(
-                system, threshold=config.screening_threshold
-            )
+            builder = _direct_tools(system, config, "direct")
             st = _rhf_scf_hostloop(H, X, S, nocc, config, builder.jk, guess)
     else:
         # modular in-core path: per-class-pair V2 programs + one SCF program

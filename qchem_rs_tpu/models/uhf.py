@@ -436,7 +436,7 @@ def unrestricted_hartree_fock(
     guess = jnp.asarray(density_guess) if warm else None
     t0 = time.perf_counter()
     if config.fock_mode in ("direct", "pair"):
-        from qchem_rs_tpu.ops.fock_pair import PairSpaceFockBuilder
+        from qchem_rs_tpu.models import rhf as rhf_mod
 
         S = one_electron.overlap(system, positions)
         H = one_electron.kinetic(system, positions) + one_electron.nuclear(
@@ -446,11 +446,9 @@ def unrestricted_hartree_fock(
         if config.fock_mode == "pair":
             # pair-space matrices built once; jit ARGUMENTS so the GB-scale
             # operands don't get baked into the executable (cf. models/rhf.py)
-            builder = PairSpaceFockBuilder(
-                system, threshold=config.screening_threshold
-            )
+            builder = rhf_mod._direct_tools(system, config, "pair")
             t1 = time.perf_counter()
-            V2f, W = builder.prepare()
+            V2f, W = builder.prepare(force=True)
             W.block_until_ready()
             timings["eri_s"] = time.perf_counter() - t1
 
@@ -462,11 +460,7 @@ def unrestricted_hartree_fock(
         else:
             # streaming direct: tile-engine integrals digested into per-spin
             # J/K on the fly, host-driven loop (cf. models/rhf.py)
-            from qchem_rs_tpu.ops.fock_stream import StreamingFockBuilder
-
-            builder = StreamingFockBuilder(
-                system, threshold=config.screening_threshold
-            )
+            builder = rhf_mod._direct_tools(system, config, "direct")
 
             def jk_host(D):
                 Ja, Ka = builder.jk(D[0])

@@ -89,6 +89,14 @@ def to_f64(x):
     return x[0].astype(jnp.float64) + x[1].astype(jnp.float64)
 
 
+def split_f64(x):
+    """Split an f64 jnp array into a df pair — traceable (conformer sweeps
+    pass traced geometry through this), unlike the numpy from_f64."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
 def const(v, like=None):
     """df constant from a Python float (exact split)."""
     import numpy as np

@@ -148,9 +148,13 @@ class PairSpaceFockBuilder:
             self._pj = jax.jit(prep, donate_argnums=(0,))
         return self._pj
 
-    def prepare(self):
-        """Build V2 (tile scans), mirror, and the exchange matrix W."""
-        if self._prepared is None:
+    def prepare(self, force: bool = False):
+        """Build V2 (tile scans), mirror, and the exchange matrix W.
+
+        ``force`` rebuilds even when cached — run entry points use it so a
+        warm `restricted_hartree_fock` call still measures/performs the
+        integral build (builder instances are cached per system)."""
+        if force or self._prepared is None:
             V2 = self.engine.build()
             self._prepared = self._prep_jit(V2)
         return self._prepared
@@ -217,9 +221,9 @@ class PairSpaceShardedFockBuilder(PairSpaceFockBuilder):
             raise ValueError(f"pair count M={self.M} not divisible by mesh axis {ndev}")
         self._col_sharding = NamedSharding(mesh, P(None, axis))
 
-    def prepare(self):
-        if self._prepared is None:
-            V2f, W = super().prepare()
+    def prepare(self, force: bool = False):
+        if force or self._prepared is None:
+            V2f, W = super().prepare(force=force)
             V2f = jax.device_put(V2f, self._col_sharding)
             W = jax.device_put(W, self._col_sharding)
             self._prepared = (V2f, W)
