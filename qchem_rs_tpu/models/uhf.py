@@ -463,9 +463,9 @@ def unrestricted_hartree_fock(
             builder = rhf_mod._direct_tools(system, config, "direct")
 
             def jk_host(D):
-                Ja, Ka = builder.jk(D[0])
-                Jb, Kb = builder.jk(D[1])
-                return Ja + Jb, jnp.stack([Ka, Kb])
+                # ONE integral recomputation digests both spin densities
+                Js, Ks = builder.jk_stack(D)
+                return Js[0] + Js[1], Ks
 
             st = _uhf_scf_hostloop(H, X, S, nocc, config, jk_host, guess)
     else:

@@ -133,10 +133,11 @@ class StreamingFockBuilder:
 
         def digest(D, xs, *ops):
             """Scan the (ti, tj) tile list from ZERO carries; returns the
-            (dJp, dK) contribution. Sentinel tiles (ti < 0, mesh padding)
-            digest with weight zero."""
-            Dflat = D.reshape(-1)
-            dJ_all = jnp.take(Dflat, pidx) * wj  # (M,)
+            (dJp, dK) contribution for a DENSITY STACK D (nd, nao, nao) —
+            UHF digests both spins against one integral recomputation.
+            Sentinel tiles (ti < 0, mesh padding) digest with weight zero."""
+            nd = D.shape[0]
+            dJ_all = (D.reshape(nd, -1)[:, pidx] * wj[None]).T  # (M, nd)
 
             def body(carry, x):
                 Jp, K = carry
@@ -176,16 +177,19 @@ class StreamingFockBuilder:
                     # element twice across the two roles: halve them
                     vals = vals * jnp.where(t_i == t_j, 0.5, 1.0)
                 vals = vals * valid  # sentinel (mesh-padding) tiles: zero
-                sl1 = lambda a, s, n: jax.lax.dynamic_slice(a, (s,), (n,))
+                zi = jnp.zeros((), t_i.dtype)
+                sl1 = lambda a, s, n: jax.lax.dynamic_slice(
+                    a, (s,) + (zi,) * (a.ndim - 1), (n,) + a.shape[1:]
+                )
                 nr, nc = T1 * A, T2 * C
                 # --- J: pair-space contiguous accumulation, both roles ---
-                Jrow = vals @ sl1(dJ_all, c0, nc)
-                Jcol = vals.T @ sl1(dJ_all, r0, nr)
+                Jrow = vals @ sl1(dJ_all, c0, nc)  # (nr, nd)
+                Jcol = vals.T @ sl1(dJ_all, r0, nr)  # (nc, nd)
                 Jp2 = jax.lax.dynamic_update_slice(
-                    Jp, sl1(Jp, r0, nr) + Jrow, (r0,)
+                    Jp, sl1(Jp, r0, nr) + Jrow, (r0, zi)
                 )
                 Jp2 = jax.lax.dynamic_update_slice(
-                    Jp2, sl1(Jp2, c0, nc) + Jcol, (c0,)
+                    Jp2, sl1(Jp2, c0, nc) + Jcol, (c0, zi)
                 )
                 # --- K: one-hot MXU digestion (role1 only; role2 is the
                 # final transpose) ---
@@ -201,16 +205,17 @@ class StreamingFockBuilder:
                 Orj = oh(brj, bur)
                 Ock = oh(cki, cuq)
                 Ocl = oh(clj, cuq)
-                g = lambda jj, ll: D[jj][:, ll]  # (nr, nc) gather of D[j, l]
-                t1 = Ori.T @ (vals * g(brj, clj)) @ Ock
-                t2 = Ori.T @ (vals * g(brj, cki)) @ Ocl
-                t3 = Orj.T @ (vals * g(bri, clj)) @ Ock
-                t4 = Orj.T @ (vals * g(bri, cki)) @ Ocl
+                # (nd, nr, nc) density gathers; matmuls broadcast over nd
+                g = lambda jj, ll: D[:, jj, :][:, :, ll]
+                t1 = Ori.T @ (vals[None] * g(brj, clj)) @ Ock
+                t2 = Ori.T @ (vals[None] * g(brj, cki)) @ Ocl
+                t3 = Orj.T @ (vals[None] * g(bri, clj)) @ Ock
+                t4 = Orj.T @ (vals[None] * g(bri, cki)) @ Ocl
                 K2 = K + (t1 + t2 + t3 + t4)
                 return (Jp2, K2), None
 
-            Jp0 = jnp.zeros((self.M,), jnp.float64)
-            K0 = jnp.zeros((nao, nao), jnp.float64)
+            Jp0 = jnp.zeros((self.M, nd), jnp.float64)
+            K0 = jnp.zeros((nd, nao, nao), jnp.float64)
             (dJp, dK), _ = jax.lax.scan(body, (Jp0, K0), xs)
             return dJp, dK
 
@@ -287,23 +292,36 @@ class StreamingFockBuilder:
 
     # --- public API ---------------------------------------------------------
 
-    def jk_cart(self, D):
-        """Cartesian J/K for one density. Host-driven loop over compiled
-        per-class-pair programs (each segment one device call)."""
+    def jk_stack_cart(self, D):
+        """Cartesian J/K for a density STACK (nd, nao, nao) — one integral
+        recomputation digests every density (UHF: both spins). Host-driven
+        loop over compiled per-class-pair programs (each segment one device
+        call)."""
         nao = self.nao
-        Jp = jnp.zeros((self.M,), jnp.float64)
-        K1 = jnp.zeros((nao, nao), jnp.float64)
         D = jnp.asarray(D)
+        nd = D.shape[0]
+        Jp = jnp.zeros((self.M, nd), jnp.float64)
+        K1 = jnp.zeros((nd, nao, nao), jnp.float64)
         for name, fn, segments, operands in self._tasks:
             for xs in segments:
                 Jp, K1 = fn(Jp, K1, D, xs, *operands)
-        J = jnp.take(Jp, self._pmap).reshape(nao, nao)
-        K = K1 + K1.T
+        J = jnp.take(Jp, self._pmap, axis=0).T.reshape(nd, nao, nao)
+        K = K1 + K1.transpose(0, 2, 1)
         return J, K
 
-    def jk(self, D):
+    def jk_stack(self, D):
+        """J/K stacks in the working basis."""
+        D = jnp.asarray(D)
         if self.system.spherical:
             T = jnp.asarray(self.system.sph_T)
-            J, K = self.jk_cart(T @ jnp.asarray(D) @ T.T)
-            return T.T @ J @ T, T.T @ K @ T
-        return self.jk_cart(D)
+            J, K = self.jk_stack_cart(T[None] @ D @ T.T[None])
+            return T.T[None] @ J @ T[None], T.T[None] @ K @ T[None]
+        return self.jk_stack_cart(D)
+
+    def jk_cart(self, D):
+        J, K = self.jk_stack_cart(jnp.asarray(D)[None])
+        return J[0], K[0]
+
+    def jk(self, D):
+        J, K = self.jk_stack(jnp.asarray(D)[None])
+        return J[0], K[0]
