@@ -50,8 +50,12 @@ __all__ = ["tile_vals_pallas", "r2m_tiles_pallas"]
 
 #: per-instance VMEM budget for the output brick (bytes). The compiler
 #: double-buffers output blocks; keep 2 x out + live R registers well under
-#: the ~16 MB VMEM.
-_VMEM_OUT_BUDGET = 3 * 1024 * 1024
+#: the ~16 MB VMEM. Larger budgets -> taller BT1 bricks -> fewer grid steps
+#: and better VPU issue amortization (small (8, 128) bricks pay 2-4x in
+#: instruction issue). QCHEM_PL_VMEM overrides (bytes).
+import os as _os
+
+_VMEM_OUT_BUDGET = int(_os.environ.get("QCHEM_PL_VMEM", 6 * 1024 * 1024))
 
 
 def _r_recursion_unrolled(L: int, p, PQ):
