@@ -214,11 +214,14 @@ def run_configs(configs):
                 gf = _eri_gflops(_incore_tools(system, cfg)[1])
                 if gf:
                     gflops = round(gf / eri_s, 2)
+            from qchem_rs_tpu.ops.eri_tiled import _kernel_mode
+
             result = {
                 "metric": f"time_to_converged_scf_{tag}",
                 "value": round(warm, 3),
                 "unit": "s",
                 "vs_baseline": round(REFERENCE_PROFILED_RUN_S / warm, 2),
+                "kernel": _kernel_mode(),
                 "cold_s": round(cold, 3),
                 "total_energy_hartree": round(out2.total_energy(), 8),
                 "iterations": out2.iterations,
