@@ -285,20 +285,26 @@ def _rhf_scf_direct(
     config: HartreeFockConfig,
     jk_fn,
     density_guess: Optional[jax.Array] = None,
+    use_guess=None,
 ) -> _ScfState:
-    """SCF loop with an integral-direct J/K builder (no ERI tensor).
+    """SCF loop with a traceable J/K builder closure (pair-space matvecs,
+    sharded builders). ``use_guess`` (traced bool) selects the guess at RUN
+    time so one compiled program serves cold and warm starts.
 
-    Same fixed-point structure as _rhf_scf; G = J - K/2 is rebuilt from
-    Schwarz-screened quartet batches every iteration via ``jk_fn`` (a
-    traceable closure from DirectFockBuilder/ShardedFockBuilder).
+    Same fixed-point structure as _rhf_scf.
     """
     n = H.shape[0]
     diis_min, diis_max = config.diis_window(4, 6)
-    D0 = (
-        scf.huckel_guess(H, S, X, nocc, scale=2.0)
-        if density_guess is None
-        else density_guess
-    )
+    if density_guess is None:
+        D0 = scf.huckel_guess(H, S, X, nocc, scale=2.0)
+    elif use_guess is None:
+        D0 = density_guess
+    else:
+        D0 = jnp.where(
+            use_guess,
+            density_guess,
+            scf.huckel_guess(H, S, X, nocc, scale=2.0),
+        )
 
     def body(st: _ScfState) -> _ScfState:
         D = st.density
@@ -476,11 +482,28 @@ def restricted_hartree_fock(
             W.block_until_ready()
             timings["eri_s"] = time.perf_counter() - t1
 
-            def run(H, X, S, V2f, W, g):
-                jk = lambda D: builder.jk_sph(D, V2f, W)
-                return _rhf_scf_direct(H, X, S, nocc, config, jk, g)
+            # the jitted SCF program is cached on the builder keyed by the
+            # run statics: a fresh closure per call would retrace (and on
+            # the TPU backend recompile, ~45 s) EVERY run; the guess is a
+            # traced operand so warm starts share the cold executable
+            cache = getattr(builder, "_rhf_scf_cache", None)
+            if cache is None:
+                cache = builder._rhf_scf_cache = {}
+            key = _scf_statics(config, nocc)
+            jfn = cache.get(key)
+            if jfn is None:
 
-            st = jax.jit(run)(H, X, S, V2f, W, guess)
+                def run(H, X, S, V2f, W, g, use):
+                    jk = lambda D: builder.jk_sph(D, V2f, W)
+                    return _rhf_scf_direct(H, X, S, nocc, config, jk, g, use)
+
+                jfn = cache[key] = jax.jit(run)
+            n = system.n_basis()
+            st = jfn(
+                H, X, S, V2f, W,
+                guess if warm else jnp.zeros((n, n)),
+                jnp.asarray(warm),
+            )
         else:
             # streaming direct: tile-engine integrals digested into J/K on
             # the fly (ops/fock_stream.py), host-driven SCF so every device

@@ -222,7 +222,8 @@ def _uhf_scf(
 
 
 def _uhf_scf_direct(
-    H, X, S, nocc, config: HartreeFockConfig, jk_builder, density_guess=None
+    H, X, S, nocc, config: HartreeFockConfig, jk_builder, density_guess=None,
+    use_guess=None,
 ) -> _UhfState:
     """UHF with an integral-direct screened J/K builder (no ERI tensor).
 
@@ -240,7 +241,7 @@ def _uhf_scf_direct(
         H, X, S, nocc, config.max_iterations, config.epsilon,
         config.convergence_metric, config.diis_window(2, 8),
         config.mixing_factor, jk, density_guess, config.verbose,
-        config.level_shift,
+        config.level_shift, use_guess,
     )
 
 
@@ -452,11 +453,26 @@ def unrestricted_hartree_fock(
             W.block_until_ready()
             timings["eri_s"] = time.perf_counter() - t1
 
-            def run(H, X, S, V2f, W, g):
-                jk = lambda D: builder.jk_sph(D, V2f, W)
-                return _uhf_scf_direct(H, X, S, nocc, config, jk, g)
+            # cached jitted SCF program + traced guess flag (cf. models/rhf.py
+            # pair branch: a fresh closure per call would recompile every run)
+            cache = getattr(builder, "_uhf_scf_cache", None)
+            if cache is None:
+                cache = builder._uhf_scf_cache = {}
+            key = _uhf_statics(config, nocc)
+            jfn = cache.get(key)
+            if jfn is None:
 
-            st = jax.jit(run)(H, X, S, V2f, W, guess)
+                def run(H, X, S, V2f, W, g, use):
+                    jk = lambda D: builder.jk_sph(D, V2f, W)
+                    return _uhf_scf_direct(H, X, S, nocc, config, jk, g, use)
+
+                jfn = cache[key] = jax.jit(run)
+            n = system.n_basis()
+            st = jfn(
+                H, X, S, V2f, W,
+                guess if warm else jnp.zeros((2, n, n)),
+                jnp.asarray(warm),
+            )
         else:
             # streaming direct: tile-engine integrals digested into per-spin
             # J/K on the fly, host-driven loop (cf. models/rhf.py)
