@@ -122,6 +122,12 @@ def _kernel_mode() -> str:
 #: so in practice this never trips for real basis sets.
 _DF_BASE_MAX = 1e30
 
+#: highest total angular momentum handled by the Pallas tile kernel
+#: (covers every class pair of d-shell bases like cc-pVDZ; f-shell (ff|ff)
+#: reaches L=12 where the unrolled kernel body grows past useful compile
+#: times). QCHEM_PL_MAX_L overrides.
+_PL_MAX_L = int(os.environ.get("QCHEM_PL_MAX_L", 8))
+
 
 def _tile_units(m1: _ClassMeta, m2: _ClassMeta, T1: int, T2: int) -> float:
     """Rough per-tile cost: R-table recursion (H·a·c grid points) plus the
@@ -527,6 +533,13 @@ class TiledEriEngine:
                 m2 = metas[i2]
                 kmode = mode
                 if mode in ("df", "pallas") and not self._df_in_range(m1, m2):
+                    kmode = "f64"
+                L_tot = m1.la + m1.lb + m2.la + m2.lb
+                if kmode == "pallas" and L_tot > _PL_MAX_L:
+                    # the Mosaic kernel unrolls ~H*L statements (H=455 at
+                    # L=12, f-shell quartets); beyond the cap the straight-
+                    # line body stops compiling in seconds — those rare
+                    # highest-L classes fall back to XLA f64
                     kmode = "f64"
                 T1, T2 = _tile_shapes(m1, m2)
                 ti, tj, btile = _tile_list(
