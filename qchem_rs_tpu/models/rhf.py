@@ -93,33 +93,17 @@ def _rhf_scf(
         err = F @ D @ S - S @ D @ F  # rhf.rs:71
         F, diis = diis_apply(st.diis, err, F, diis_min)
         if level_shift != 0.0:
-            # shift the virtual space in the orthogonal basis:
-            # P' = X^T S (D/2) S X is the occupied projector there
-            Fp = X.T @ F @ X
-            SX = S @ X
-            Pp = SX.T @ (0.5 * D) @ SX
-            Fp = Fp + level_shift * (jnp.eye(n) - Pp)
-            w, Cp = jnp.linalg.eigh(Fp)
-            C = X @ Cp
+            C, w = scf.shifted_solve_fock(F, 0.5 * D, X, S, level_shift)
         else:
             C, w = scf.solve_fock(F, X)
         D_new = scf.density_from_coeffs(C, nocc, scale=2.0)
         d_change = D_new - D
         D = D + mixing * d_change  # rhf.rs:78-82 (F = 1.0 default)
         energy = 0.5 * jnp.sum(D * (2.0 * H + G))  # rhf.rs:84-85 (post-update D, pre-update G)
-        if metric == "energy":
-            # converge on |dE| < eps — the "1e-8 Eh" criterion directly;
-            # typically ~2x fewer iterations than the density-RMS metrics
-            # (energy error is quadratic in the density error near the
-            # fixed point)
-            rms = jnp.abs(energy - st.energy)
-        elif metric == "diis_err":
-            # commutator norm max|FDS - SDF|: the SCF gradient surrogate —
-            # unlike density metrics it needs no extra iteration to observe
-            # a small CHANGE, it measures distance-to-fixed-point directly
-            rms = jnp.max(jnp.abs(err))
-        else:
-            rms = scf.density_rms(d_change, metric)
+        rms = scf.convergence_value(
+            metric, energy=energy, prev_energy=st.energy, err=err,
+            d_change=d_change,
+        )
         if verbose:  # in-jit analogue of the reference's per-iteration log::info!
             jax.debug.print(
                 "iteration {i:<4} - electronic energy {e:1.4f}. density rms {r:1.4e}",
@@ -314,20 +298,17 @@ def _rhf_scf_direct(
         err = F @ D @ S - S @ D @ F
         F, diis = diis_apply(st.diis, err, F, diis_min)
         if config.level_shift != 0.0:
-            # same virtual-space shift as the in-core loop (_rhf_scf)
-            Fp = X.T @ F @ X
-            SX = S @ X
-            Pp = SX.T @ (0.5 * D) @ SX
-            Fp = Fp + config.level_shift * (jnp.eye(n) - Pp)
-            w, Cp = jnp.linalg.eigh(Fp)
-            C = X @ Cp
+            C, w = scf.shifted_solve_fock(F, 0.5 * D, X, S, config.level_shift)
         else:
             C, w = scf.solve_fock(F, X)
         D_new = scf.density_from_coeffs(C, nocc, scale=2.0)
         d_change = D_new - D
         D = D + config.mixing_factor * d_change
         energy = 0.5 * jnp.sum(D * (2.0 * H + G))
-        rms = scf.density_rms(d_change, config.convergence_metric)
+        rms = scf.convergence_value(
+            config.convergence_metric, energy=energy, prev_energy=st.energy,
+            err=err, d_change=d_change,
+        )
         if config.verbose:
             jax.debug.print(
                 "iteration {i:<4} - electronic energy {e:1.4f}. density rms {r:1.4e}",
@@ -362,44 +343,55 @@ def _rhf_scf_direct(
     return jax.lax.while_loop(cond, body, init)
 
 
-def _rhf_scf_hostloop(
-    H, X, S, nocc: int, config: HartreeFockConfig, jk_host, density_guess=None
-) -> _ScfState:
-    """Host-driven SCF for the STREAMING direct builder (ops/fock_stream.py):
-    ``jk_host(D)`` executes one bounded device program per tile segment, so
-    arbitrarily large systems never trip the backend's ~60 s execution
-    watchdog (a single jitted while_loop would). The per-iteration dense
-    algebra runs as one small jitted step program."""
-    n = H.shape[0]
-    diis_min, diis_max = config.diis_window(4, 6)
+def _rhf_step_program(config: HartreeFockConfig, nocc: int):
+    """One jitted SCF iteration (dense algebra only) for the host-driven
+    direct loop. H/X/S are ARGUMENTS so the executable is geometry-free and
+    cacheable across runs (a per-call closure would retrace + recompile
+    every run)."""
+    diis_min, _ = config.diis_window(4, 6)
     level_shift = config.level_shift
 
     @jax.jit
-    def step(D, diis, J, K, prev_e):
+    def step(H, X, S, D, diis, J, K, prev_e):
         G = J - 0.5 * K
         F = H + G
         err = F @ D @ S - S @ D @ F
         F, diis = diis_apply(diis, err, F, diis_min)
         if level_shift != 0.0:
-            Fp = X.T @ F @ X
-            SX = S @ X
-            Pp = SX.T @ (0.5 * D) @ SX
-            Fp = Fp + level_shift * (jnp.eye(n) - Pp)
-            w, Cp = jnp.linalg.eigh(Fp)
-            C = X @ Cp
+            C, w = scf.shifted_solve_fock(F, 0.5 * D, X, S, level_shift)
         else:
             C, w = scf.solve_fock(F, X)
         D_new = scf.density_from_coeffs(C, nocc, scale=2.0)
         d_change = D_new - D
         D2 = D + config.mixing_factor * d_change
         energy = 0.5 * jnp.sum(D2 * (2.0 * H + G))
-        if config.convergence_metric == "energy":
-            rms = jnp.abs(energy - prev_e)
-        elif config.convergence_metric == "diis_err":
-            rms = jnp.max(jnp.abs(err))
-        else:
-            rms = scf.density_rms(d_change, config.convergence_metric)
+        rms = scf.convergence_value(
+            config.convergence_metric, energy=energy, prev_energy=prev_e,
+            err=err, d_change=d_change,
+        )
         return D2, diis, energy, rms, w, C
+
+    return step
+
+
+def _rhf_scf_hostloop(
+    H, X, S, nocc: int, config: HartreeFockConfig, jk_host, density_guess=None,
+    step_cache: dict | None = None,
+) -> _ScfState:
+    """Host-driven SCF for the STREAMING direct builder (ops/fock_stream.py):
+    ``jk_host(D)`` executes one bounded device program per tile segment, so
+    arbitrarily large systems never trip the backend's ~60 s execution
+    watchdog (a single jitted while_loop would). The per-iteration dense
+    algebra runs as one small jitted step program, cached in ``step_cache``
+    (keyed by the run statics) across runs."""
+    n = H.shape[0]
+    _, diis_max = config.diis_window(4, 6)
+    key = _scf_statics(config, nocc)
+    step = None if step_cache is None else step_cache.get(key)
+    if step is None:
+        step = _rhf_step_program(config, nocc)
+        if step_cache is not None:
+            step_cache[key] = step
 
     D = (
         scf.huckel_guess(H, S, X, nocc, scale=2.0)
@@ -416,7 +408,7 @@ def _rhf_scf_hostloop(
     # reference bound: 0..=max_iterations (rhf.rs:66)
     for _ in range(config.max_iterations + 1):
         J, K = jk_host(D)
-        D, diis, energy, rms, w, C = step(D, diis, J, K, energy)
+        D, diis, energy, rms, w, C = step(H, X, S, D, diis, J, K, energy)
         passes += 1
         if config.verbose:
             print(
@@ -509,7 +501,12 @@ def restricted_hartree_fock(
             # the fly (ops/fock_stream.py), host-driven SCF so every device
             # call stays under the execution watchdog at any system size
             builder = _direct_tools(system, config, "direct")
-            st = _rhf_scf_hostloop(H, X, S, nocc, config, builder.jk, guess)
+            cache = getattr(builder, "_step_cache", None)
+            if cache is None:
+                cache = builder._step_cache = {}
+            st = _rhf_scf_hostloop(
+                H, X, S, nocc, config, builder.jk, guess, step_cache=cache
+            )
     else:
         # modular in-core path: per-class-pair V2 programs + one SCF program
         ones, engine = _incore_tools(system, config)

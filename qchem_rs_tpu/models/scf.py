@@ -81,3 +81,36 @@ def electron_counts(n_electrons: int, spin_multiplicity: int) -> tuple[int, int]
         )
     n_beta = (n_electrons - n_unpaired) // 2
     return n_beta + n_unpaired, n_beta
+
+
+def convergence_value(metric: str, *, energy, prev_energy, err, d_change):
+    """The scalar tested against epsilon, shared by every RHF loop variant.
+
+    "energy": |dE| (the 1e-8 Eh criterion directly); "diis_err": commutator
+    norm max|FDS - SDF| (distance-to-fixed-point — needs no extra iteration
+    to observe a small CHANGE); otherwise a density-RMS metric
+    (density_rms). UHF keeps its own spin-averaged density branches
+    (reference double-halving quirk, uhf.rs:137-139) but shares the first
+    two through this helper as well.
+    """
+    if metric == "energy":
+        return jnp.abs(energy - prev_energy)
+    if metric == "diis_err":
+        return jnp.max(jnp.abs(err))
+    return density_rms(d_change, metric)
+
+
+def shifted_solve_fock(F: jax.Array, D_occ: jax.Array, X: jax.Array,
+                       S: jax.Array, shift: float):
+    """Level-shifted Fock solve: adds ``shift * (I - P')`` to the
+    orthogonal-basis Fock, with P' = (SX)^T D_occ (SX) the occupied
+    projector there. ``D_occ`` must be the idempotent-normalized density
+    (RHF passes D/2; UHF spin densities carry no factor 2). Returns (C, w).
+    """
+    n = F.shape[0]
+    SX = S @ X
+    Fp = X.T @ F @ X
+    Pp = SX.T @ D_occ @ SX
+    Fp = Fp + shift * (jnp.eye(n) - Pp)
+    w, Cp = jnp.linalg.eigh(Fp)
+    return X @ Cp, w

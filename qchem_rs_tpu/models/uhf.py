@@ -107,19 +107,11 @@ def _uhf_loop(
         err = F @ D @ S[None] - S[None] @ D @ F
         F, diis = jax.vmap(lambda s, e, f: diis_apply(s, e, f, diis_min))(st.diis, err, F)
         if level_shift != 0.0:
-            # per-spin virtual-space shift (cf. models/rhf.py): the spin
-            # density here carries NO factor 2, so the occupied projector in
-            # the orthogonal basis is P' = (SX)^T D^s (SX) directly
-            SX = S @ X
-
-            def shifted_solve(f, d):
-                Fp = X.T @ f @ X
-                Pp = SX.T @ d @ SX
-                Fp = Fp + level_shift * (jnp.eye(n) - Pp)
-                w, Cp = jnp.linalg.eigh(Fp)
-                return X @ Cp, w
-
-            C, w = jax.vmap(shifted_solve)(F, D)
+            # per-spin virtual-space shift; the spin density carries NO
+            # factor 2, so it IS the occupied-projector density
+            C, w = jax.vmap(
+                lambda f, d: scf.shifted_solve_fock(f, d, X, S, level_shift)
+            )(F, D)
         else:
             C, w = jax.vmap(lambda f: scf.solve_fock(f, X))(F)
         # per-spin density via occupation masks (static shapes for both spins)
@@ -245,36 +237,26 @@ def _uhf_scf_direct(
     )
 
 
-def _uhf_scf_hostloop(
-    H, X, S, nocc, config: HartreeFockConfig, jk_host, density_guess=None
-) -> _UhfState:
-    """Host-driven UHF for the streaming direct builder (cf. models/rhf.py
-    _rhf_scf_hostloop): bounded device programs per tile segment, small
-    jitted per-iteration step."""
-    n = H.shape[0]
-    diis_min, diis_max = config.diis_window(2, 8)
+def _uhf_step_program(config: HartreeFockConfig, nocc):
+    """One jitted UHF iteration for the host-driven direct loop (H/X/S as
+    arguments: geometry-free, cacheable — cf. models/rhf._rhf_step_program)."""
+    diis_min, _ = config.diis_window(2, 8)
     level_shift = config.level_shift
-    occ_mask = jnp.stack(
-        [jnp.arange(n) < nocc[0], jnp.arange(n) < nocc[1]]
-    ).astype(H.dtype)
 
     @jax.jit
-    def step(D, diis, J, K, prev_e):
+    def step(H, X, S, D, diis, J, K, prev_e):
+        n = H.shape[0]
+        occ_mask = jnp.stack(
+            [jnp.arange(n) < nocc[0], jnp.arange(n) < nocc[1]]
+        ).astype(H.dtype)
         G = J[None] - K
         F = H[None] + G
         err = F @ D @ S[None] - S[None] @ D @ F
         F, diis = jax.vmap(lambda s, e, f: diis_apply(s, e, f, diis_min))(diis, err, F)
         if level_shift != 0.0:
-            SX = S @ X
-
-            def shifted_solve(f, d):
-                Fp = X.T @ f @ X
-                Pp = SX.T @ d @ SX
-                Fp = Fp + level_shift * (jnp.eye(n) - Pp)
-                w, Cp = jnp.linalg.eigh(Fp)
-                return X @ Cp, w
-
-            C, w = jax.vmap(shifted_solve)(F, D)
+            C, w = jax.vmap(
+                lambda f, d: scf.shifted_solve_fock(f, d, X, S, level_shift)
+            )(F, D)
         else:
             C, w = jax.vmap(lambda f: scf.solve_fock(f, X))(F)
         D_new = jnp.einsum("sik,sk,sjk->sij", C, occ_mask, C)
@@ -282,11 +264,11 @@ def _uhf_scf_hostloop(
         D2 = D + config.mixing_factor * d_change
         energy = 0.5 * jnp.sum(D2 * (2.0 * H[None] + G))
         metric = config.convergence_metric
-        if metric == "energy":
-            rms = jnp.abs(energy - prev_e)
-            conv = rms < config.epsilon
-        elif metric == "diis_err":
-            rms = jnp.max(jnp.abs(err))
+        if metric in ("energy", "diis_err"):
+            rms = scf.convergence_value(
+                metric, energy=energy, prev_energy=prev_e, err=err,
+                d_change=d_change,
+            )
             conv = rms < config.epsilon
         elif metric == "diag_rms":
             per_spin = scf.density_rms(d_change, metric)
@@ -297,6 +279,25 @@ def _uhf_scf_hostloop(
             rms = jnp.mean(per_spin)
             conv = rms < config.epsilon
         return D2, diis, energy, rms, conv, w, C
+
+    return step
+
+
+def _uhf_scf_hostloop(
+    H, X, S, nocc, config: HartreeFockConfig, jk_host, density_guess=None,
+    step_cache: dict | None = None,
+) -> _UhfState:
+    """Host-driven UHF for the streaming direct builder (cf. models/rhf.py
+    _rhf_scf_hostloop): bounded device programs per tile segment, small
+    jitted per-iteration step cached across runs."""
+    n = H.shape[0]
+    _, diis_max = config.diis_window(2, 8)
+    key = _uhf_statics(config, nocc)
+    step = None if step_cache is None else step_cache.get(key)
+    if step is None:
+        step = _uhf_step_program(config, nocc)
+        if step_cache is not None:
+            step_cache[key] = step
 
     if density_guess is None:
         D = jnp.stack(
@@ -320,7 +321,7 @@ def _uhf_scf_hostloop(
     passes = 0
     for _ in range(config.max_iterations + 1):
         J, K = jk_host(D)
-        D, diis, energy, rms, conv, w, C = step(D, diis, J, K, energy)
+        D, diis, energy, rms, conv, w, C = step(H, X, S, D, diis, J, K, energy)
         passes += 1
         if config.verbose:
             print(f"iteration {passes - 1} - density rms {float(rms):03.3e}")
@@ -483,7 +484,12 @@ def unrestricted_hartree_fock(
                 Js, Ks = builder.jk_stack(D)
                 return Js[0] + Js[1], Ks
 
-            st = _uhf_scf_hostloop(H, X, S, nocc, config, jk_host, guess)
+            cache = getattr(builder, "_step_cache_uhf", None)
+            if cache is None:
+                cache = builder._step_cache_uhf = {}
+            st = _uhf_scf_hostloop(
+                H, X, S, nocc, config, jk_host, guess, step_cache=cache
+            )
     else:
         ones, engine = _incore_tools(system, config)
         cones = getattr(engine, "_compiled_ones", ones)

@@ -221,10 +221,23 @@ class PairSpaceShardedFockBuilder(PairSpaceFockBuilder):
             raise ValueError(f"pair count M={self.M} not divisible by mesh axis {ndev}")
         self._col_sharding = NamedSharding(mesh, P(None, axis))
 
-    def prepare(self, force: bool = False):
-        if force or self._prepared is None:
-            V2f, W = super().prepare(force=force)
-            V2f = jax.device_put(V2f, self._col_sharding)
-            W = jax.device_put(W, self._col_sharding)
-            self._prepared = (V2f, W)
-        return self._prepared
+    @property
+    def _prep_jit(self):
+        # mirror + W build with SHARDED outputs: GSPMD partitions the column
+        # gathers so W (the largest matrix) is produced directly into its
+        # 1/ndev-per-device layout instead of materializing unsharded and
+        # re-distributing. The V2 tile scans themselves still run on the
+        # default device — the O(M^2) V2 carry is the current single-device
+        # high-water mark of the build (documented limitation).
+        if not hasattr(self, "_pj"):
+            def prep(V2):
+                V2f = _mirror(V2)
+                W = build_w(V2f, self._pmap2, self._colA, self._colB)
+                return V2f, W
+
+            self._pj = jax.jit(
+                prep,
+                donate_argnums=(0,),
+                out_shardings=(self._col_sharding, self._col_sharding),
+            )
+        return self._pj

@@ -45,6 +45,7 @@ from qchem_rs_tpu.ops.eri_tiled import (
     _tile_units,
     SEG_UNITS,
     DONATE_CARRY,
+    _PL_MAX_L,
     _tile_vals,
     _tile_vals_df,
     _kernel_mode,
@@ -98,7 +99,6 @@ class StreamingFockBuilder:
         # argument above needs self-transposed diagonal tiles)
         mode = _kernel_mode()
         metas = eng.layout.metas
-        bounds = getattr(eng, "_bounds", None)
         self._tasks = []
         for i1, m1 in enumerate(metas):
             for i2 in range(i1, len(metas)):
@@ -106,6 +106,11 @@ class StreamingFockBuilder:
                 kmode = mode
                 if mode in ("df", "pallas") and not eng._df_in_range(m1, m2):
                     kmode = "f64"
+                if (
+                    kmode == "pallas"
+                    and m1.la + m1.lb + m2.la + m2.lb > _PL_MAX_L
+                ):
+                    kmode = "f64"  # cf. eri_tiled: unrolled Mosaic body cap
                 T1, T2 = _tile_shapes(m1, m2)
                 same = i2 == i1
                 if same:

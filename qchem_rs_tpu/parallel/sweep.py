@@ -119,9 +119,27 @@ def chained_sweep(
 
     One traced program serves the whole chain (positions, guess and the
     use-guess flag are operands): the chain compiles ONCE, each step is an
-    execution.
+    execution. The single-program form materializes the in-core operator
+    tensor, so non-incore fock modes (pair/direct — chosen precisely when
+    the n^4 expansion doesn't fit) chain through the per-geometry entry
+    point instead, which now also reuses one executable per geometry's
+    builder.
     """
     config = config or HartreeFockConfig()
+    if config.fock_mode != "incore":
+        from qchem_rs_tpu.models.rhf import restricted_hartree_fock
+
+        energies, converged = [], []
+        guess = None
+        for pos in np.asarray(geometries, dtype=np.float64):
+            out = restricted_hartree_fock(
+                system.with_positions(pos), config, density_guess=guess
+            )
+            energies.append(out.total_energy())
+            converged.append(out.converged)
+            if out.converged:
+                guess = out.density
+        return np.asarray(energies), np.asarray(converged)
     fn = jax.jit(rhf_energy_fn(system, config))
     n = system.n_basis()
     energies, converged = [], []

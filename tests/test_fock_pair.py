@@ -77,3 +77,27 @@ def test_pair_mode_rhf_uhf_energies(data_dir):
     u_pair = unrestricted_hartree_fock(s, pair)
     assert u_pair.converged
     assert abs(u_pair.total_energy() - u_ref.total_energy()) < 1e-9
+
+
+def test_pair_mode_alt_convergence_metrics(data_dir):
+    """Pair mode must support every convergence metric the CLI offers
+    (review finding: the pair SCF loop once lacked energy/diis_err)."""
+    import dataclasses
+
+    from qchem_rs_tpu import HartreeFockConfig, restricted_hartree_fock
+
+    b = BasisSet.load(f"{data_dir}/basis/STO-3G.json")
+    s = MolecularSystem.load(f"{data_dir}/mol/water.json", b)
+    ref = restricted_hartree_fock(
+        s, HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    ).total_energy()
+    for metric, eps in [("energy", 1e-10), ("diis_err", 1e-9)]:
+        out = restricted_hartree_fock(
+            s,
+            HartreeFockConfig(
+                epsilon=eps, max_iterations=200, fock_mode="pair",
+                convergence_metric=metric,
+            ),
+        )
+        assert out.converged, metric
+        assert abs(out.total_energy() - ref) < 1e-8, metric
