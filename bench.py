@@ -175,6 +175,11 @@ def run_configs(configs):
     for (mol, basis_path, tag), budget in zip(configs, budgets):
       # the remote compile helper crashes sporadically; one retry per config
       for attempt in range(2):
+        if attempt == 1 and not os.environ.get("QCHEM_KERNEL"):
+            # insurance: if the Pallas tile kernel failed on this backend,
+            # retry on the battle-tested XLA f64 path (fresh system objects
+            # below -> fresh engines pick the env up)
+            os.environ["QCHEM_KERNEL"] = "f64"
         try:
             import dataclasses
 
