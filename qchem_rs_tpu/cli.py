@@ -84,6 +84,16 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
         help="write the converged SCF state to this .npz path",
     )
     p.add_argument(
+        "--dipole",
+        action="store_true",
+        help="print the electric dipole moment from the converged density",
+    )
+    p.add_argument(
+        "--mulliken",
+        action="store_true",
+        help="print Mulliken atomic partial charges",
+    )
+    p.add_argument(
         "--resume",
         default=None,
         help="warm-start from an .npz checkpoint written by --checkpoint",
@@ -175,7 +185,27 @@ def cmd_rhf(args) -> int:
         print("nuclear gradient (Hartree/Bohr):")
         for atom, row in zip(system.atoms, g):
             print(f"  {atom.ordinal:3d}  {row[0]: .8f} {row[1]: .8f} {row[2]: .8f}")
+    _print_properties(args, system, out.density)
     return 0
+
+
+def _print_properties(args, system, total_density) -> None:
+    if getattr(args, "dipole", False):
+        from qchem_rs_tpu.models.properties import AU_TO_DEBYE, dipole_moment
+
+        mu = dipole_moment(system, total_density)
+        d = float((mu**2).sum() ** 0.5)
+        print(
+            f"dipole moment (a.u.): [{mu[0]: .6f}, {mu[1]: .6f}, {mu[2]: .6f}]"
+            f"  |mu| = {d:.6f} a.u. = {d * AU_TO_DEBYE:.4f} D"
+        )
+    if getattr(args, "mulliken", False):
+        from qchem_rs_tpu.models.properties import mulliken_charges
+
+        q = mulliken_charges(system, total_density)
+        print("mulliken charges:")
+        for atom, qi in zip(system.atoms, q):
+            print(f"  {atom.ordinal:3d}  {qi: .6f}")
 
 
 def cmd_uhf(args) -> int:
@@ -201,6 +231,7 @@ def cmd_uhf(args) -> int:
     print(f"hartree fock energy: {out.total_energy():3.3f}")
     print(f"orbital energies alpha spin:   {_fmt_orbitals(out.orbital_energies_alpha)}")
     print(f"orbital energies beta spin: {_fmt_orbitals(out.orbital_energies_beta)}")
+    _print_properties(args, system, out.density[0] + out.density[1])
     return 0
 
 

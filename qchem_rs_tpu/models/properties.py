@@ -1,0 +1,44 @@
+"""Molecular properties from the converged SCF density.
+
+Capabilities beyond the reference (qchem-rs stops at energies +
+orbital energies, /root/reference/core/src/hf/rhf.rs:14-30): electric
+dipole moments and Mulliken population analysis, both one-liners over the
+framework's differentiable integral layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from qchem_rs_tpu.ops import one_electron
+from qchem_rs_tpu.utils.system import MolecularSystem
+
+#: 1 atomic unit of electric dipole in Debye
+AU_TO_DEBYE = 2.541746473
+
+
+def dipole_moment(system: MolecularSystem, density: np.ndarray) -> np.ndarray:
+    """Electric dipole (a.u.), origin at 0: mu = sum_A Z_A R_A - Tr[D r].
+
+    ``density`` is the TOTAL density matrix in the working basis — RHF's
+    ``output.density`` directly, or the spin sum ``D[0] + D[1]`` for UHF.
+    Origin-independent for neutral molecules.
+    """
+    D = jnp.asarray(density)
+    mu_e = jnp.einsum("dij,ij->d", one_electron.dipole_integrals(system), D)
+    charges = np.asarray(system.charges)
+    mu_n = (charges[:, None] * np.asarray(system.positions)).sum(axis=0)
+    return np.asarray(mu_n - np.asarray(mu_e))
+
+
+def mulliken_charges(system: MolecularSystem, density: np.ndarray) -> np.ndarray:
+    """Mulliken atomic partial charges: q_A = Z_A - sum_{i in A} (D S)_ii."""
+    D = jnp.asarray(density)
+    S = one_electron.overlap(system)
+    pops = np.asarray(jnp.diagonal(D @ S))
+    ao_atoms = system.ao_atom_indices()
+    q = np.asarray(system.charges, dtype=float).copy()
+    np.subtract.at(q, ao_atoms, pops)
+    return q

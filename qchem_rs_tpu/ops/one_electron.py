@@ -158,3 +158,55 @@ def nuclear(system: MolecularSystem, positions=None) -> jnp.ndarray:
         ),
         positions,
     )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _moment_class(d: int, la: int, lb: int, a, b, cc, A, B, AB):
+    """<i| r_d |j> for one class pair (Cartesian moment about the origin):
+    per dimension, <x^i | x | x^j> = E^{ij}_1 + P_x E^{ij}_0 (the t=1
+    Hermite expansion coefficient plus the Gaussian-product center), the
+    other two dimensions are plain overlaps."""
+    p = a + b
+    P = (
+        a[..., None] * A[:, None, None, :] + b[..., None] * B[:, None, None, :]
+    ) / p[..., None]
+    es = e_cubes(la, lb, a, b, AB)
+    comps_a, comps_b = cart_components(la), cart_components(lb)
+    pref = (jnp.pi / p) ** 1.5 * cc
+
+    def dim(e, i, j, moment):
+        s0 = e[..., i, j, 0]
+        if not moment:
+            return s0
+        e1 = e[..., i, j, 1] if e.shape[-1] > 1 else jnp.zeros_like(s0)
+        return e1 + P[..., d] * s0
+
+    blocks = []
+    for ca_ in comps_a:
+        row = []
+        for cb_ in comps_b:
+            s = 1.0
+            for dd in range(3):
+                s = s * dim(es[dd], ca_[dd], cb_[dd], moment=(dd == d))
+            row.append(jnp.sum(pref * s, axis=(-1, -2)))
+        blocks.append(jnp.stack(row, axis=-1))
+    return jnp.stack(blocks, axis=-2)
+
+
+def dipole_integrals(system: MolecularSystem, positions=None) -> jnp.ndarray:
+    """Cartesian moment matrices <i| r |j>, shape (3, nao, nao), origin 0.
+
+    A capability beyond the reference (qchem-rs computes S/T/V/ERI only);
+    built from the same trace-time Hermite expansions as the overlap."""
+    positions = _positions(system, positions)
+    mats = [
+        _assemble(
+            system,
+            lambda la, lb, ca, cb, a, b, cc, A, B, AB, d=d: _moment_class(
+                d, la, lb, a, b, cc, A, B, AB
+            ),
+            positions,
+        )
+        for d in range(3)
+    ]
+    return jnp.stack(mats)

@@ -207,6 +207,16 @@ class MolecularSystem:
     def n_basis_cart(self) -> int:
         return self._n_basis
 
+    def ao_atom_indices(self) -> np.ndarray:
+        """Atom index of every WORKING-basis AO (spherical AOs are 2l+1 per
+        shell in shell order — ops/spherical.system_transform's block
+        layout; Cartesian ncart(l)). Used by population analysis."""
+        out: list[int] = []
+        for s in self.shells:
+            n = (2 * s.l + 1) if self.spherical else ncart(s.l)
+            out.extend([s.atom_index] * n)
+        return np.asarray(out, dtype=np.int64)
+
     def n_electrons(self, charge: int = 0) -> int:
         return int(sum(a.ordinal for a in self.atoms)) - charge
 
