@@ -43,6 +43,8 @@ from qchem_rs_tpu.utils.system import Atom, MolecularSystem
 from qchem_rs_tpu.config import HartreeFockConfig
 from qchem_rs_tpu.models.rhf import restricted_hartree_fock, RestrictedHartreeFockOutput
 from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock, UnrestrictedHartreeFockOutput
+from qchem_rs_tpu.models.gradients import rhf_gradient, uhf_gradient
+from qchem_rs_tpu.models.properties import dipole_moment, mulliken_charges
 
 __all__ = [
     "BasisSet",
@@ -53,6 +55,10 @@ __all__ = [
     "RestrictedHartreeFockOutput",
     "unrestricted_hartree_fock",
     "UnrestrictedHartreeFockOutput",
+    "rhf_gradient",
+    "uhf_gradient",
+    "dipole_moment",
+    "mulliken_charges",
 ]
 
 __version__ = "0.1.0"
