@@ -44,6 +44,7 @@ from qchem_rs_tpu.config import HartreeFockConfig
 from qchem_rs_tpu.models.rhf import restricted_hartree_fock, RestrictedHartreeFockOutput
 from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock, UnrestrictedHartreeFockOutput
 from qchem_rs_tpu.models.gradients import rhf_gradient, uhf_gradient
+from qchem_rs_tpu.models.mp2 import mp2
 from qchem_rs_tpu.models.properties import dipole_moment, mulliken_charges
 
 __all__ = [
@@ -57,6 +58,7 @@ __all__ = [
     "UnrestrictedHartreeFockOutput",
     "rhf_gradient",
     "uhf_gradient",
+    "mp2",
     "dipole_moment",
     "mulliken_charges",
 ]

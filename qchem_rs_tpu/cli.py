@@ -235,6 +235,27 @@ def cmd_uhf(args) -> int:
     return 0
 
 
+def cmd_mp2(args) -> int:
+    from qchem_rs_tpu import restricted_hartree_fock
+    from qchem_rs_tpu.models.mp2 import mp2
+
+    system, cfg = _build(args)
+    if cfg.spin_multiplicity == 0:
+        cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
+    start = time.perf_counter()
+    out = restricted_hartree_fock(system, cfg)
+    if not out.converged:
+        print("hartree fock did not converge", file=sys.stderr)
+        return 1
+    res = mp2(system, cfg, output=out)
+    elapsed = time.perf_counter() - start
+    print(f"mp2 finished after {out.iterations} SCF iterations and {elapsed:0.2f}s")
+    print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
+    print(f"mp2 correlation energy: {res.correlation_energy:3.6f}")
+    print(f"mp2 total energy: {res.total_energy():3.6f}")
+    return 0
+
+
 def cmd_info(args) -> int:
     from qchem_rs_tpu import BasisSet, MolecularSystem
 
@@ -305,6 +326,12 @@ def main(argv=None) -> int:
     p_uhf = sub.add_parser("uhf", help="unrestricted Hartree-Fock single point")
     _common_flags(p_uhf, uhf=True)
     p_uhf.set_defaults(fn=cmd_uhf)
+
+    p_mp2 = sub.add_parser(
+        "mp2", help="MP2 correlation energy on converged RHF orbitals"
+    )
+    _common_flags(p_mp2, uhf=False)
+    p_mp2.set_defaults(fn=cmd_mp2)
 
     p_info = sub.add_parser("info", help="inspect a molecule/basis combination")
     p_info.add_argument("--basis-set", "-b", required=True)

@@ -1,0 +1,46 @@
+"""MP2 correlation energy vs an independent numpy oracle."""
+
+import numpy as np
+
+from qchem_rs_tpu import HartreeFockConfig, restricted_hartree_fock
+from qchem_rs_tpu.models.mp2 import mp2
+from qchem_rs_tpu.ops.eri import eri
+from tests.helpers import load_reference_system
+
+
+def _mp2_numpy(system, out, nocc):
+    """Independent formulation: dense numpy transform + explicit loops-free
+    einsum straight from the definition (no shared code with models/mp2)."""
+    e4 = np.asarray(eri(system))
+    C = np.asarray(out.coefficients)
+    eps = np.asarray(out.orbital_energies)
+    Co, Cv = C[:, :nocc], C[:, nocc:]
+    ovov = np.einsum("pqrs,pi,qa,rj,sb->iajb", e4, Co, Cv, Co, Cv, optimize=True)
+    eo, ev = eps[:nocc], eps[nocc:]
+    denom = eo[:, None, None, None] + eo[None, None, :, None] \
+        - ev[None, :, None, None] - ev[None, None, None, :]
+    t = ovov / denom
+    return float(np.sum(t * (2.0 * ovov - ovov.transpose(0, 3, 2, 1))))
+
+
+def test_mp2_matches_numpy_oracle():
+    for mol, basis in [("hydrogen", "STO-3G"), ("water", "STO-3G")]:
+        system = load_reference_system(mol, basis)
+        cfg = HartreeFockConfig(epsilon=1e-11, max_iterations=300)
+        out = restricted_hartree_fock(system, cfg)
+        nocc = system.n_electrons(0) // 2
+        ref = _mp2_numpy(system, out, nocc)
+        res = mp2(system, cfg, output=out)
+        assert res.correlation_energy < 0  # correlation always lowers E
+        assert abs(res.correlation_energy - ref) < 1e-10, (mol, basis)
+
+
+def test_mp2_basis_set_growth():
+    """Correlation magnitude grows with the basis (more virtuals)."""
+    system_small = load_reference_system("water", "STO-3G")
+    system_big = load_reference_system("water", "6-31G")
+    cfg = HartreeFockConfig(epsilon=1e-10, max_iterations=300)
+    small = mp2(system_small, cfg)
+    big = mp2(system_big, cfg)
+    assert big.correlation_energy < small.correlation_energy < 0
+    assert big.total_energy() < big.scf_total_energy
