@@ -256,6 +256,28 @@ def cmd_mp2(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    from qchem_rs_tpu.models.optimize import optimize_geometry
+
+    system, cfg = _build(args)
+    if cfg.spin_multiplicity == 0:
+        cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
+    start = time.perf_counter()
+    res = optimize_geometry(system, cfg, gtol=args.gtol, max_steps=args.max_steps)
+    elapsed = time.perf_counter() - start
+    status = "converged" if res.converged else "did NOT converge"
+    print(
+        f"geometry optimization {status} after {res.steps} energy/gradient "
+        f"evaluations and {elapsed:0.2f}s"
+    )
+    print(f"final energy: {res.energy:3.8f}")
+    print(f"max |gradient|: {res.gradient_norm:.2e} Hartree/Bohr")
+    print("final geometry (Bohr):")
+    for atom, row in zip(system.atoms, res.positions):
+        print(f"  {atom.ordinal:3d}  {row[0]: .6f} {row[1]: .6f} {row[2]: .6f}")
+    return 0 if res.converged else 1
+
+
 def cmd_info(args) -> int:
     from qchem_rs_tpu import BasisSet, MolecularSystem
 
@@ -332,6 +354,20 @@ def main(argv=None) -> int:
     )
     _common_flags(p_mp2, uhf=False)
     p_mp2.set_defaults(fn=cmd_mp2)
+
+    p_opt = sub.add_parser(
+        "optimize", help="geometry optimization on analytic RHF gradients"
+    )
+    _common_flags(p_opt, uhf=False)
+    p_opt.add_argument(
+        "--gtol", type=float, default=3e-5,
+        help="max-abs gradient convergence threshold (Hartree/Bohr)",
+    )
+    p_opt.add_argument(
+        "--max-steps", type=int, default=50,
+        help="maximum optimizer energy/gradient evaluations",
+    )
+    p_opt.set_defaults(fn=cmd_optimize)
 
     p_info = sub.add_parser("info", help="inspect a molecule/basis combination")
     p_info.add_argument("--basis-set", "-b", required=True)

@@ -1,0 +1,21 @@
+"""Geometry optimization on analytic gradients."""
+
+import numpy as np
+
+from qchem_rs_tpu import HartreeFockConfig
+from qchem_rs_tpu.models.optimize import optimize_geometry
+from tests.helpers import load_reference_system
+
+
+def test_h2_bond_length():
+    """RHF/STO-3G H2 equilibrium bond: 1.346 Bohr (textbook; start 1.4)."""
+    system = load_reference_system("hydrogen", "STO-3G")
+    res = optimize_geometry(
+        system, HartreeFockConfig(epsilon=1e-11, max_iterations=300)
+    )
+    assert res.converged
+    bond = np.linalg.norm(res.positions[1] - res.positions[0])
+    assert abs(bond - 1.346) < 0.01, bond
+    # energy decreased and the trace is (weakly) monotone at the ends
+    assert res.energy <= res.energies[0] + 1e-12
+    assert res.gradient_norm < 3e-4
