@@ -278,6 +278,29 @@ def cmd_optimize(args) -> int:
     return 0 if res.converged else 1
 
 
+def cmd_frequencies(args) -> int:
+    from qchem_rs_tpu.models.hessian import harmonic_frequencies
+    from qchem_rs_tpu.models.optimize import optimize_geometry
+
+    system, cfg = _build(args)
+    if cfg.spin_multiplicity == 0:
+        cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
+    start = time.perf_counter()
+    if args.opt_first:
+        opt = optimize_geometry(system, cfg)
+        if not opt.converged:
+            print("geometry optimization did not converge", file=sys.stderr)
+            return 1
+        system = system.with_positions(opt.positions)
+    res = harmonic_frequencies(system, cfg)
+    elapsed = time.perf_counter() - start
+    print(f"harmonic analysis finished in {elapsed:0.2f}s")
+    print(f"near-zero (trans/rot) modes: {res.n_zero_modes}")
+    vib = [f for f in res.frequencies_cm1 if abs(f) >= 50.0]
+    print("harmonic frequencies (cm^-1):", " ".join(f"{f:8.1f}" for f in vib))
+    return 0
+
+
 def cmd_info(args) -> int:
     from qchem_rs_tpu import BasisSet, MolecularSystem
 
@@ -368,6 +391,17 @@ def main(argv=None) -> int:
         help="maximum optimizer energy/gradient evaluations",
     )
     p_opt.set_defaults(fn=cmd_optimize)
+
+    p_freq = sub.add_parser(
+        "frequencies", help="harmonic vibrational frequencies (RHF)"
+    )
+    _common_flags(p_freq, uhf=False)
+    p_freq.add_argument(
+        "--opt-first",
+        action="store_true",
+        help="optimize the geometry before the harmonic analysis",
+    )
+    p_freq.set_defaults(fn=cmd_frequencies)
 
     p_info = sub.add_parser("info", help="inspect a molecule/basis combination")
     p_info.add_argument("--basis-set", "-b", required=True)
