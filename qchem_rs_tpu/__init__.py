@@ -44,7 +44,7 @@ from qchem_rs_tpu.config import HartreeFockConfig
 from qchem_rs_tpu.models.rhf import restricted_hartree_fock, RestrictedHartreeFockOutput
 from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock, UnrestrictedHartreeFockOutput
 from qchem_rs_tpu.models.gradients import rhf_gradient, uhf_gradient
-from qchem_rs_tpu.models.mp2 import mp2
+from qchem_rs_tpu.models.mp2 import mp2, ump2
 from qchem_rs_tpu.models.hessian import harmonic_frequencies
 from qchem_rs_tpu.models.optimize import optimize_geometry
 from qchem_rs_tpu.models.properties import dipole_moment, mulliken_charges
@@ -61,6 +61,7 @@ __all__ = [
     "rhf_gradient",
     "uhf_gradient",
     "mp2",
+    "ump2",
     "optimize_geometry",
     "harmonic_frequencies",
     "dipole_moment",

@@ -236,20 +236,23 @@ def cmd_uhf(args) -> int:
 
 
 def cmd_mp2(args) -> int:
-    from qchem_rs_tpu import restricted_hartree_fock
-    from qchem_rs_tpu.models.mp2 import mp2
+    from qchem_rs_tpu.models.mp2 import mp2, ump2
 
     system, cfg = _build(args)
-    if cfg.spin_multiplicity == 0:
+    open_shell = cfg.spin_multiplicity not in (0, 1) or (
+        system.n_electrons(cfg.charge) % 2 == 1
+    )
+    if cfg.spin_multiplicity == 0 and not open_shell:
         cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
     start = time.perf_counter()
-    out = restricted_hartree_fock(system, cfg)
-    if not out.converged:
-        print("hartree fock did not converge", file=sys.stderr)
+    try:
+        res = (ump2 if open_shell else mp2)(system, cfg)
+    except RuntimeError as e:
+        print(str(e), file=sys.stderr)
         return 1
-    res = mp2(system, cfg, output=out)
     elapsed = time.perf_counter() - start
-    print(f"mp2 finished after {out.iterations} SCF iterations and {elapsed:0.2f}s")
+    kind = "ump2" if open_shell else "mp2"
+    print(f"{kind} finished after {res.iterations} SCF iterations and {elapsed:0.2f}s")
     print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
     print(f"mp2 correlation energy: {res.correlation_energy:3.6f}")
     print(f"mp2 total energy: {res.total_energy():3.6f}")
@@ -373,9 +376,11 @@ def main(argv=None) -> int:
     p_uhf.set_defaults(fn=cmd_uhf)
 
     p_mp2 = sub.add_parser(
-        "mp2", help="MP2 correlation energy on converged RHF orbitals"
+        "mp2",
+        help="MP2 correlation energy (restricted; spin-unrestricted UMP2 "
+        "for open shells)",
     )
-    _common_flags(p_mp2, uhf=False)
+    _common_flags(p_mp2, uhf=True)
     p_mp2.set_defaults(fn=cmd_mp2)
 
     p_opt = sub.add_parser(

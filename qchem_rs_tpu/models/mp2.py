@@ -59,6 +59,78 @@ def _transform_ovov(e4: jax.Array, Co: jax.Array, Cv: jax.Array):
     return jnp.einsum("iajs,sb->iajb", x, Cv)
 
 
+@jax.jit
+def _ump2_pair(ovov_ss_a, ovov_ss_b, ovov_os, eo_a, ev_a, eo_b, ev_b):
+    """UMP2 energy from the three spin-block (ia|jb) tensors."""
+
+    def denom(eo1, ev1, eo2, ev2):
+        return (
+            eo1[:, None, None, None]
+            + eo2[None, None, :, None]
+            - ev1[None, :, None, None]
+            - ev2[None, None, None, :]
+        )
+
+    def same_spin(ovov, eo, ev):
+        anti = ovov - ovov.transpose(0, 3, 2, 1)
+        return 0.25 * jnp.sum(anti * anti / denom(eo, ev, eo, ev))
+
+    e_os = jnp.sum(ovov_os * ovov_os / denom(eo_a, ev_a, eo_b, ev_b))
+    return same_spin(ovov_ss_a, eo_a, ev_a) + same_spin(ovov_ss_b, eo_b, ev_b) + e_os
+
+
+def ump2(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    output=None,
+) -> Mp2Output:
+    """Spin-unrestricted MP2 on converged UHF orbitals:
+
+        E = 1/4 sum_ss |(ia|jb) - (ib|ja)|^2 / D  +  sum_os (ia|jb)^2 / D
+
+    per same-spin block plus the opposite-spin block. Reduces to the
+    closed-shell result when alpha == beta."""
+    from qchem_rs_tpu.models import scf as scf_mod
+    from qchem_rs_tpu.models.rhf import _incore_tools
+    from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock
+
+    config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=300)
+    out = output or unrestricted_hartree_fock(system, config)
+    if not out.converged:
+        raise RuntimeError("SCF not converged; MP2 would be meaningless")
+    nocc = scf_mod.electron_counts(
+        system.n_electrons(config.charge), config.spin_multiplicity
+    )
+    C = jnp.asarray(out.coefficients)  # (2, n, n)
+    eps = jnp.stack(
+        [jnp.asarray(out.orbital_energies_alpha), jnp.asarray(out.orbital_energies_beta)]
+    )
+    _, engine = _incore_tools(system, config)
+    e4 = engine.finish_eri(engine.build())
+    Co = [C[s][:, : nocc[s]] for s in range(2)]
+    Cv = [C[s][:, nocc[s] :] for s in range(2)]
+    ss_a = _transform_ovov(e4, Co[0], Cv[0])
+    ss_b = _transform_ovov(e4, Co[1], Cv[1])
+    # opposite spin: bra indices alpha, ket indices beta
+    x = jnp.einsum("pqrs,pi->iqrs", e4, Co[0])
+    x = jnp.einsum("iqrs,qa->iars", x, Cv[0])
+    x = jnp.einsum("iars,rj->iajs", x, Co[1])
+    os_ab = jnp.einsum("iajs,sb->iajb", x, Cv[1])
+    ecorr = float(
+        _ump2_pair(
+            ss_a, ss_b, os_ab,
+            eps[0][: nocc[0]], eps[0][nocc[0] :],
+            eps[1][: nocc[1]], eps[1][nocc[1] :],
+        )
+    )
+    return Mp2Output(
+        scf_total_energy=out.total_energy(),
+        correlation_energy=ecorr,
+        iterations=out.iterations,
+    )
+
+
 def mp2(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,

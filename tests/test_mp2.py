@@ -44,3 +44,28 @@ def test_mp2_basis_set_growth():
     big = mp2(system_big, cfg)
     assert big.correlation_energy < small.correlation_energy < 0
     assert big.total_energy() < big.scf_total_energy
+
+
+def test_ump2_closed_shell_matches_rmp2():
+    """UMP2 on a closed shell == restricted MP2."""
+    from qchem_rs_tpu.models.mp2 import ump2
+
+    system = load_reference_system("water", "STO-3G")
+    cfg = HartreeFockConfig(epsilon=1e-11, max_iterations=300)
+    r = mp2(system, cfg)
+    u = ump2(system, cfg)
+    assert abs(u.correlation_energy - r.correlation_energy) < 1e-8
+    assert abs(u.scf_total_energy - r.scf_total_energy) < 1e-8
+
+
+def test_ump2_triplet_oxygen():
+    """Open-shell UMP2: triplet O2/STO-3G correlates and stays finite."""
+    from qchem_rs_tpu.models.mp2 import ump2
+
+    system = load_reference_system("oxygen", "STO-3G")
+    cfg = HartreeFockConfig(
+        epsilon=1e-10, max_iterations=400, spin_multiplicity=3
+    )
+    u = ump2(system, cfg)
+    assert u.correlation_energy < -0.01
+    assert u.total_energy() < u.scf_total_energy
