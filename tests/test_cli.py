@@ -83,3 +83,49 @@ def test_nonconvergence_exit_code(capsys):
     )
     assert rc == 1
     assert "did not converge" in capsys.readouterr().err
+
+
+def test_mp2_subcommand(capsys):
+    rc = cli.main(
+        [
+            "mp2",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--epsilon", "1e-10",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "mp2 correlation energy: -0.01" in out
+    assert "mp2 total energy:" in out
+
+
+def test_optimize_subcommand(capsys):
+    rc = cli.main(
+        [
+            "optimize",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--epsilon", "1e-11",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "geometry optimization converged" in out
+    assert "final energy: -1.117" in out
+
+
+def test_property_flags(capsys):
+    rc = cli.main(
+        [
+            "rhf",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/water.json",
+            "--epsilon", "1e-9",
+            "--dipole", "--mulliken",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "dipole moment (a.u.):" in out
+    assert "mulliken charges:" in out
