@@ -59,6 +59,81 @@ def _transform_ovov(e4: jax.Array, Co: jax.Array, Cv: jax.Array):
     return jnp.einsum("iajs,sb->iajb", x, Cv)
 
 
+def _pair_transform_matrix(builder, Co, Cv):
+    """U[P, (ia)] such that (ia|jb) = U^T V2f U: the occupied-virtual MO
+    pair distribution expressed over the unordered AO-pair rows of V2f.
+    Row P holding AO pair (p, q) carries C_pi C_qa + (p != q) C_qi C_pa;
+    dup/padding rows carry zero (their values duplicate the canonical row).
+    """
+    import numpy as np
+
+    from qchem_rs_tpu.ops.fock_pair import pair_row_ao
+
+    row_i, row_j, dup = pair_row_ao(builder.engine.layout)
+    pad = row_i < 0
+    p = jnp.asarray(np.where(pad, 0, row_i).astype(np.int32))
+    q = jnp.asarray(np.where(pad, 0, row_j).astype(np.int32))
+    dead = jnp.asarray((pad | dup))
+    off = jnp.where(dead | (p == q), 0.0, 1.0)[:, None]
+    live = jnp.where(dead, 0.0, 1.0)[:, None]
+    no, nv = Co.shape[1], Cv.shape[1]
+    # (M, no*nv) = live * Co[p] x Cv[q] + off * Co[q] x Cv[p]
+    U = live * (Co[p][:, :, None] * Cv[q][:, None, :]).reshape(-1, no * nv)
+    U = U + off * (Co[q][:, :, None] * Cv[p][:, None, :]).reshape(-1, no * nv)
+    return U
+
+
+def mp2_pair_space(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    output=None,
+) -> Mp2Output:
+    """MP2 through the pair-space ERI matrix — NO n^4 tensor anywhere.
+
+    (ia|jb) = U^T V2f U with U the (M, no*nv) MO pair-distribution matrix:
+    two MXU matmuls replace the four dense quarter-transforms, and peak
+    memory is V2f (~3/4 n^4 / 2) + U + the (no*nv)^2 result — the same
+    memory envelope that lets fock_mode="pair" run naphthalene/cc-pVDZ on
+    one chip (docs/PROFILE_r03.md), now extended to correlation energies.
+    """
+    from qchem_rs_tpu.models.rhf import _direct_tools, restricted_hartree_fock
+
+    config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    out = output or restricted_hartree_fock(system, config)
+    if not out.converged:
+        raise RuntimeError("SCF not converged; MP2 would be meaningless")
+    nocc = system.n_electrons(config.charge) // 2
+    C = jnp.asarray(out.coefficients)
+    if system.spherical:
+        # V2f is Cartesian: lift the MO coefficients to the Cartesian AOs
+        C = jnp.asarray(system.sph_T) @ C
+    eps = jnp.asarray(out.orbital_energies)
+    builder = _direct_tools(system, config, "pair")
+    V2 = builder.engine.build()
+    V2f = builder._prep_jit_mirror(V2) if hasattr(builder, "_prep_jit_mirror") else None
+    if V2f is None:
+        from qchem_rs_tpu.ops.fock_pair import _mirror
+
+        V2f = jax.jit(_mirror, donate_argnums=(0,))(V2)
+    Co, Cv = C[:, :nocc], C[:, nocc:]
+    U = _pair_transform_matrix(builder, Co, Cv)
+
+    @jax.jit
+    def contract(V2f, U):
+        half = V2f @ U  # (M, no*nv)
+        return U.T @ half  # (no*nv, no*nv)
+
+    no, nv = nocc, C.shape[1] - nocc
+    ovov = contract(V2f, U).reshape(no, nv, no, nv)
+    ecorr = float(_mp2_from_mo(ovov, eps[:nocc], eps[nocc:]))
+    return Mp2Output(
+        scf_total_energy=out.total_energy(),
+        correlation_energy=ecorr,
+        iterations=out.iterations,
+    )
+
+
 @jax.jit
 def _ump2_pair(ovov_ss_a, ovov_ss_b, ovov_os, eo_a, ev_a, eo_b, ev_b):
     """UMP2 energy from the three spin-block (ia|jb) tensors."""

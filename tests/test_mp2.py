@@ -69,3 +69,22 @@ def test_ump2_triplet_oxygen():
     u = ump2(system, cfg)
     assert u.correlation_energy < -0.01
     assert u.total_energy() < u.scf_total_energy
+
+
+def test_mp2_pair_space_matches_incore():
+    """The no-n^4 pair-space MP2 == the dense-transform MP2 (cart + sph)."""
+    from qchem_rs_tpu.models.mp2 import mp2_pair_space
+    from qchem_rs_tpu.utils.basis import BasisSet
+    from qchem_rs_tpu.utils.system import MolecularSystem
+    import os
+
+    data = os.path.join(os.path.dirname(__file__), "..", "data")
+    cfg = HartreeFockConfig(epsilon=1e-11, max_iterations=300)
+    for spherical in (False, True):
+        b = BasisSet.load(os.path.join(data, "basis", "cc-pVDZ.json"))
+        s = MolecularSystem.load(
+            os.path.join(data, "mol", "water.json"), b, spherical=spherical
+        )
+        dense = mp2(s, cfg)
+        pair = mp2_pair_space(s, cfg)
+        assert abs(pair.correlation_energy - dense.correlation_energy) < 1e-9, spherical
