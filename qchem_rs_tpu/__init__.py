@@ -31,7 +31,34 @@ if _platforms:
 
 # Persistent compilation cache: the class-batched integral kernels compile
 # once per (class signature, batch shape); cache them across processes.
-_cache_dir = os.environ.get("QCHEM_COMPILE_CACHE", os.path.expanduser("~/.cache/qchem_rs_tpu/xla"))
+#
+# The default path is keyed by a host fingerprint (CPU feature flags + jax
+# version): XLA:CPU AOT-compiled executables embed host ISA extensions, and
+# loading a cache built on a machine with different CPU features can SIGILL /
+# SIGSEGV inside compilation_cache.get_executable_and_time (observed: a
+# cross-host cache of ~3000 entries segfaulted the test suite). An explicit
+# QCHEM_COMPILE_CACHE is honored verbatim (the caller owns coherence).
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    parts = [platform.machine(), jax.__version__]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        parts.append(platform.processor() or "unknown")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
+_cache_dir = os.environ.get("QCHEM_COMPILE_CACHE") or os.path.expanduser(
+    f"~/.cache/qchem_rs_tpu/xla-{_host_fingerprint()}"
+)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -44,7 +71,7 @@ from qchem_rs_tpu.config import HartreeFockConfig
 from qchem_rs_tpu.models.rhf import restricted_hartree_fock, RestrictedHartreeFockOutput
 from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock, UnrestrictedHartreeFockOutput
 from qchem_rs_tpu.models.gradients import rhf_gradient, uhf_gradient
-from qchem_rs_tpu.models.mp2 import mp2, ump2
+from qchem_rs_tpu.models.mp2 import mp2, mp2_pair_space, ump2
 from qchem_rs_tpu.models.hessian import harmonic_frequencies
 from qchem_rs_tpu.models.optimize import optimize_geometry
 from qchem_rs_tpu.models.properties import dipole_moment, mulliken_charges
@@ -61,6 +88,7 @@ __all__ = [
     "rhf_gradient",
     "uhf_gradient",
     "mp2",
+    "mp2_pair_space",
     "ump2",
     "optimize_geometry",
     "harmonic_frequencies",

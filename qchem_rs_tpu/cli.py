@@ -18,8 +18,17 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
+
+# Quiet XLA's C++ log spam on the user surface (overridable via the env).
+# In particular cpu_aot_loader.cc prints a full-page ERROR on every persistent
+# -cache hit whose only feature mismatch is XLA's own tuning pseudo-features
+# (+prefer-no-scatter/+prefer-no-gather, never present in runtime CPU
+# detection) — a false positive; genuine cross-host reuse is prevented by the
+# fingerprinted cache path (qchem_rs_tpu/__init__.py).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 log = logging.getLogger("qchem")
 
@@ -236,7 +245,7 @@ def cmd_uhf(args) -> int:
 
 
 def cmd_mp2(args) -> int:
-    from qchem_rs_tpu.models.mp2 import mp2, ump2
+    from qchem_rs_tpu.models.mp2 import mp2, mp2_pair_space, ump2
 
     system, cfg = _build(args)
     open_shell = cfg.spin_multiplicity not in (0, 1) or (
@@ -244,9 +253,19 @@ def cmd_mp2(args) -> int:
     )
     if cfg.spin_multiplicity == 0 and not open_shell:
         cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
+    if open_shell:
+        # UMP2 is in-core only: it needs all three spin-block (ia|jb)
+        # tensors, which the dense quarter-transform provides directly.
+        fn = ump2
+    elif cfg.fock_mode == "pair":
+        # honor --fock-mode pair end to end: the no-n^4 transform
+        # (ia|jb) = U^T V2f U shares the SCF's pair-space memory envelope
+        fn = mp2_pair_space
+    else:
+        fn = mp2
     start = time.perf_counter()
     try:
-        res = (ump2 if open_shell else mp2)(system, cfg)
+        res = fn(system, cfg)
     except RuntimeError as e:
         print(str(e), file=sys.stderr)
         return 1

@@ -51,17 +51,21 @@ def _inv_sqrt_sym(M: jax.Array) -> jax.Array:
     return 1.5 * jnp.eye(n) - 0.5 * M
 
 
-def _energy_fn(system: MolecularSystem, config: HartreeFockConfig,
-               C0: jax.Array, occ: jax.Array, scale: float):
-    """Traceable positions -> total energy at frozen (re-orthonormalized)
-    MO coefficients. ``occ`` is the (n,) occupation vector per spin channel
-    already folded into ``scale``/shape conventions (RHF: scale=2)."""
+def _make_rhf_grad(system: MolecularSystem, config: HartreeFockConfig,
+                   scale: float):
+    """Jitted (positions, C0, occ) -> dE/dpositions at frozen
+    (re-orthonormalized) MO coefficients. ``system`` provides only shell
+    STRUCTURE (geometry flows through ``positions``), so one compiled
+    program serves every same-structure geometry — Hessian columns and
+    optimizer steps stop retracing (the screening tile lists inside
+    eri_terms come from the captured system's stored geometry; their drift
+    over small displacements is below the screening threshold's own error)."""
     from qchem_rs_tpu.ops.fock import eri_terms
     from qchem_rs_tpu.parallel.sweep import nuclear_repulsion_jnp
 
     charges = jnp.asarray(system.charges)
 
-    def energy(positions: jax.Array) -> jax.Array:
+    def energy(positions: jax.Array, C0: jax.Array, occ: jax.Array) -> jax.Array:
         S = one_electron.overlap(system, positions)
         H = one_electron.kinetic(system, positions) + one_electron.nuclear(
             system, positions
@@ -77,7 +81,21 @@ def _energy_fn(system: MolecularSystem, config: HartreeFockConfig,
         e_elec = 0.5 * jnp.sum(D * (2.0 * H + G))
         return e_elec + nuclear_repulsion_jnp(charges, positions)
 
-    return energy
+    return jax.jit(jax.grad(energy, argnums=0))
+
+
+def _grad_program(system: MolecularSystem, config: HartreeFockConfig,
+                  kind: str, make):
+    """Per-structure cache of jitted gradient programs (same registry as the
+    SCF engines, models/rhf._tools_slot)."""
+    from qchem_rs_tpu.models.rhf import _tools_slot
+
+    cache = _tools_slot(system)
+    key = (kind, config.screening_threshold)
+    fn = cache.get(key)
+    if fn is None:
+        fn = cache[key] = make()
+    return fn
 
 
 def rhf_gradient(
@@ -102,8 +120,10 @@ def rhf_gradient(
     nocc = system.n_electrons(config.charge) // 2
     occ = (jnp.arange(n) < nocc).astype(jnp.float64)
     C0 = jnp.asarray(out.coefficients)
-    energy = _energy_fn(system, config, C0, occ, scale=2.0)
-    g = jax.grad(energy)(jnp.asarray(system.positions))
+    grad_fn = _grad_program(
+        system, config, "rhf_grad", lambda: _make_rhf_grad(system, config, 2.0)
+    )
+    g = grad_fn(jnp.asarray(system.positions), C0, occ)
     return np.asarray(g)
 
 
@@ -139,27 +159,32 @@ def uhf_gradient(
         [(jnp.arange(n) < nocc[0]), (jnp.arange(n) < nocc[1])]
     ).astype(jnp.float64)
     C0 = jnp.asarray(out.coefficients)  # (2, n, n)
-    charges = jnp.asarray(system.charges)
 
-    def energy(positions):
-        S = one_electron.overlap(system, positions)
-        H = one_electron.kinetic(system, positions) + one_electron.nuclear(
-            system, positions
-        )
-        C = jax.vmap(lambda c: c @ _inv_sqrt_sym(c.T @ S @ c))(C0)
-        D = jnp.einsum("sik,sk,sjk->sij", C, occ, C)  # (2, n, n), no factor 2
-        from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
+    def make():
+        charges = jnp.asarray(system.charges)
 
-        eng = TiledEriEngine(
-            system, config.screening_threshold, positions=positions
-        )
-        e4 = eng.finish_eri(eng.build())
-        Dt = D[0] + D[1]
-        J = jnp.einsum("ijkl,kl->ij", e4, Dt)
-        K = jnp.einsum("ikjl,skl->sij", e4, D)
-        G = J[None] - K
-        e_elec = 0.5 * jnp.sum(D * (2.0 * H[None] + G))
-        return e_elec + nuclear_repulsion_jnp(charges, positions)
+        def energy(positions, C0, occ):
+            S = one_electron.overlap(system, positions)
+            H = one_electron.kinetic(system, positions) + one_electron.nuclear(
+                system, positions
+            )
+            C = jax.vmap(lambda c: c @ _inv_sqrt_sym(c.T @ S @ c))(C0)
+            D = jnp.einsum("sik,sk,sjk->sij", C, occ, C)  # (2, n, n), no factor 2
+            from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
 
-    g = jax.grad(energy)(jnp.asarray(system.positions))
+            eng = TiledEriEngine(
+                system, config.screening_threshold, positions=positions
+            )
+            e4 = eng.finish_eri(eng.build())
+            Dt = D[0] + D[1]
+            J = jnp.einsum("ijkl,kl->ij", e4, Dt)
+            K = jnp.einsum("ikjl,skl->sij", e4, D)
+            G = J[None] - K
+            e_elec = 0.5 * jnp.sum(D * (2.0 * H[None] + G))
+            return e_elec + nuclear_repulsion_jnp(charges, positions)
+
+        return jax.jit(jax.grad(energy, argnums=0))
+
+    grad_fn = _grad_program(system, config, "uhf_grad", make)
+    g = grad_fn(jnp.asarray(system.positions), C0, occ)
     return np.asarray(g)

@@ -21,15 +21,27 @@ import numpy as np
 from qchem_rs_tpu.config import HartreeFockConfig
 from qchem_rs_tpu.utils.system import MolecularSystem
 
-#: standard atomic weights (amu), Z-indexed, elements in the bundled data
+#: most-abundant-isotope masses (amu), Z-indexed, Z = 1..18 (all elements
+#: reachable through the bundled basis sets)
 ATOMIC_MASS = {
     1: 1.00782503,
+    2: 4.00260325,
+    3: 7.01600455,
+    4: 9.01218220,
+    5: 11.00930540,
     6: 12.0,
-    7: 14.003074,
+    7: 14.00307401,
     8: 15.99491462,
     9: 18.99840316,
+    10: 19.99244018,
+    11: 22.98976928,
+    12: 23.98504170,
+    13: 26.98153863,
+    14: 27.97692653,
+    15: 30.97376163,
     16: 31.97207117,
     17: 34.96885268,
+    18: 39.96238312,
 }
 
 #: 1 amu in electron masses
@@ -85,6 +97,13 @@ def harmonic_frequencies(
 ) -> HarmonicResult:
     """Harmonic frequencies (cm^-1) at the CURRENT geometry (optimize first;
     non-stationary geometries mix translations into vibrations)."""
+    unknown = sorted({a.ordinal for a in system.atoms} - ATOMIC_MASS.keys())
+    if unknown:
+        # fail BEFORE the O(3N) SCF+gradient Hessian build, not after
+        raise ValueError(
+            f"no atomic mass tabulated for Z={unknown}; extend "
+            "qchem_rs_tpu.models.hessian.ATOMIC_MASS"
+        )
     H = hessian_fd(system, config, step=step)
     masses = np.array(
         [ATOMIC_MASS[a.ordinal] * AMU_TO_ME for a in system.atoms]

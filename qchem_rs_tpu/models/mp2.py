@@ -110,12 +110,14 @@ def mp2_pair_space(
         C = jnp.asarray(system.sph_T) @ C
     eps = jnp.asarray(out.orbital_energies)
     builder = _direct_tools(system, config, "pair")
-    V2 = builder.engine.build()
-    V2f = builder._prep_jit_mirror(V2) if hasattr(builder, "_prep_jit_mirror") else None
-    if V2f is None:
+    if builder._prepared is not None:
+        # SCF ran in pair mode: its (V2f, W) are already resident — reuse
+        # V2f instead of paying a second peak-memory tile build + mirror.
+        V2f = builder._prepared[0]
+    else:
         from qchem_rs_tpu.ops.fock_pair import _mirror
 
-        V2f = jax.jit(_mirror, donate_argnums=(0,))(V2)
+        V2f = jax.jit(_mirror, donate_argnums=(0,))(builder.engine.build())
     Co, Cv = C[:, :nocc], C[:, nocc:]
     U = _pair_transform_matrix(builder, Co, Cv)
 

@@ -146,7 +146,27 @@ def _rhf_scf(
 # parallel/sweep.rhf_energy_fn (vmapped conformer sweeps).
 from weakref import WeakKeyDictionary
 
-_RHF_TOOLS: "WeakKeyDictionary[MolecularSystem, dict]" = WeakKeyDictionary()
+# Engines/builders keyed by STRUCTURE, not system identity: geometry enters
+# every compiled program as a runtime operand, so displaced geometries
+# (optimize / frequencies / chained sweeps) reuse all executables instead of
+# recompiling per geometry. Outer key is the BasisSet object (weak — entries
+# die with the basis); inner key is (structure_key, tool key).
+_RHF_TOOLS: "WeakKeyDictionary[object, dict]" = WeakKeyDictionary()
+
+
+def _tools_slot(system: MolecularSystem) -> dict:
+    per_basis = _RHF_TOOLS.setdefault(system.basis, {})
+    return per_basis.setdefault(system.structure_key(), {})
+
+
+def _rebind(engine, system: MolecularSystem) -> None:
+    """Point a structure-cached engine at ``system``'s geometry (no-op when
+    already bound to it)."""
+    pos = np.asarray(system.positions)
+    bound = getattr(engine, "_bound_positions", None)
+    if bound is None or not np.array_equal(bound, pos):
+        engine.rebind_positions(pos)
+        engine._bound_positions = pos
 
 
 def _scf_statics(config: HartreeFockConfig, nocc: int) -> tuple:
@@ -168,33 +188,45 @@ def _scf_statics(config: HartreeFockConfig, nocc: int) -> tuple:
 
 def _direct_tools(system: MolecularSystem, config: HartreeFockConfig, kind: str):
     """Cached pair/streaming Fock builders (screening + tile lists + jitted
-    programs survive across runs — rebuilding them per call redid Schwarz
-    bounds and recompiled everything)."""
+    programs survive across runs AND across same-structure geometries —
+    rebuilding them per call redid Schwarz bounds and recompiled everything)."""
     key = (kind, config.screening_threshold)
-    cache = _RHF_TOOLS.setdefault(system, {})
-    if key not in cache:
+    cache = _tools_slot(system)
+    builder = cache.get(key)
+    if builder is None:
         if kind == "pair":
             from qchem_rs_tpu.ops.fock_pair import PairSpaceFockBuilder
 
-            cache[key] = PairSpaceFockBuilder(
+            builder = PairSpaceFockBuilder(
                 system, threshold=config.screening_threshold
             )
         else:
             from qchem_rs_tpu.ops.fock_stream import StreamingFockBuilder
 
-            cache[key] = StreamingFockBuilder(
+            builder = StreamingFockBuilder(
                 system, threshold=config.screening_threshold
             )
-    return cache[key]
+        builder.engine._bound_positions = np.asarray(system.positions)
+        cache[key] = builder
+    else:
+        before = getattr(builder.engine, "_bound_positions", None)
+        _rebind(builder.engine, system)
+        if before is not getattr(builder.engine, "_bound_positions", None):
+            builder._prepared = None  # pair matrices were for the old geometry
+    return builder
 
 
 def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
-    """Modular per-system programs: 1e integrals + tiled pair-space engine."""
+    """Modular per-structure programs: 1e integrals + tiled pair-space
+    engine. The ``ones`` closures capture the FIRST system of a structure,
+    but geometry flows only through their ``pos`` argument, so they serve
+    every same-structure geometry."""
     from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
 
-    key = (config.screening_threshold,)
-    cache = _RHF_TOOLS.setdefault(system, {})
-    if key not in cache:
+    key = ("incore", config.screening_threshold)
+    cache = _tools_slot(system)
+    tools = cache.get(key)
+    if tools is None:
         ones = {
             "S": jax.jit(lambda pos: one_electron.overlap(system, pos)),
             "T": jax.jit(lambda pos: one_electron.kinetic(system, pos)),
@@ -204,8 +236,11 @@ def _incore_tools(system: MolecularSystem, config: HartreeFockConfig):
             "prep": jax.jit(lambda S, T, V: (T + V, scf.lowdin_x(S))),
         }
         engine = TiledEriEngine(system, config.screening_threshold)
-        cache[key] = (ones, engine)
-    return cache[key]
+        engine._bound_positions = np.asarray(system.positions)
+        tools = cache[key] = (ones, engine)
+    else:
+        _rebind(tools[1], system)
+    return tools
 
 
 def precompile_rhf(

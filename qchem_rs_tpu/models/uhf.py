@@ -219,7 +219,7 @@ def _uhf_scf_direct(
 ) -> _UhfState:
     """UHF with an integral-direct screened J/K builder (no ERI tensor).
 
-    ``jk_builder`` is DirectFockBuilder._jk_impl / ShardedFockBuilder-style:
+    ``jk_builder`` is StreamingFockBuilder.jk / ShardedFockBuilder-style:
     D (n, n) -> (J, K). Linearity gives J_tot = J(D_a) + J(D_b); the two
     spin exchanges come from the same two evaluations.
     """

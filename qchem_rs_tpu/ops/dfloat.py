@@ -195,16 +195,13 @@ def div(x, y):
 
 
 def sqrt(y):
-    """sqrt(df) via Newton on rsqrt f32 seed; y >= 0. ~80 flops.
+    """sqrt(df) = y * rsqrt(y); y >= 0. ~130 flops.
 
-    x1 = x0 + x0*(1 - y*x0^2)/2 for rsqrt, then sqrt = y * rsqrt.
-    """
-    r0 = jax.lax.rsqrt(jnp.maximum(y[0], jnp.float32(1e-38)))
-    # df rsqrt Newton step
-    yr2 = mul(y, sqr((r0, jnp.zeros_like(r0))))
-    corr = mul_pow2(sub_(const(1.0, like=y[0])[0:2], yr2), 0.5)
-    r = add_((r0, jnp.zeros_like(r0)), mul_f(corr, r0))
-    return mul(y, r)
+    Rides rsqrt's TWO Newton refinements: the TPU f32 rsqrt seed is only
+    ~12-bit accurate (see inv/rsqrt), so a single step leaves ~2^-23
+    relative error — far off the module's ~2^-45 contract, and invisible
+    in CPU tests where the seed is correctly rounded."""
+    return mul(y, rsqrt(y))
 
 
 def rsqrt(y):

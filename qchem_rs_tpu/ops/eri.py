@@ -118,7 +118,14 @@ def build_pair_groups(system: MolecularSystem, positions=None) -> list[PairGroup
             out.append(_pair_hermite(la, lb, a, b, cc, A, B, AB))
         return tuple(out)
 
-    tensors = jax.jit(all_pairs)(positions)
+    # cache the jitted program on the system: metas derive solely from its
+    # (immutable) shell structure, so every call — including geometry rebinds
+    # (eri_tiled.rebind_positions) — reuses one executable per shape
+    jfn = getattr(system, "_all_pairs_jit", None)
+    if jfn is None:
+        jfn = jax.jit(all_pairs)
+        system._all_pairs_jit = jfn
+    tensors = jfn(positions)
     groups: list[PairGroup] = []
     for (la, lb, ca, cb, ii, jj), (E, p, P) in zip(metas, tensors):
         groups.append(
@@ -184,8 +191,8 @@ def _eri_chunk_core(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
     alternative fused-matmul forms compiled 10-25x slower per class). Its
     Achilles heel is the dot operand materialization of the 5D R2 tensor
     when XLA must transpose it — f64 emulates as bf16[8] and small trailing
-    dims pad to (16,128) tiles, inflating ~20x. _chunk_size caps the quartet
-    batch for exactly those classes (S1 > 1 with multiple ket primitives).
+    dims pad to (16,128) tiles, inflating ~20x — the tiled pair-space engine
+    (ops/eri_tiled.py) sizes its tile grid around exactly this.
     """
     ps = p1[:, :, None] + p2[:, None, :]  # (n,a,c)
     alpha = p1[:, :, None] * p2[:, None, :] / ps
@@ -200,38 +207,6 @@ def _eri_chunk_core(Lbra: int, Lket: int, E1, p1, P1, E2, p2, P2):
     return jnp.einsum("nctA,ncCt->nAC", T1, E2)
 
 
-def _ceil(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-#: HBM budget for the dominant per-chunk intermediate (bytes)
-CHUNK_BYTES_BUDGET = 1 << 30
-
-
-def _chunk_size(g1: PairGroup, g2: PairGroup, budget: int = 0) -> int:
-    """Quartet chunk size per class pair, capped so the dot-operand
-    materialization of R2 (n, a, c, S1, S2) fits the HBM budget.
-
-    On TPU, f64 is emulated as bf16 x8 (16 B/elem) and the trailing (S1, S2)
-    dims pad to (8/16, 128) tiles when XLA transposes R2 for the first
-    contraction — a ~20x inflation for small S. That transpose happens when
-    S1 > 1 (the contraction needs (a, S1) adjacent); otherwise the tensor
-    stays fused and only the logical footprint matters.
-    """
-    a = g1.p.shape[1]
-    c = g2.p.shape[1]
-    S1 = nhermite(g1.L)
-    S2 = nhermite(g2.L)
-    H = nhermite(g1.L + g2.L)
-    L = g1.L + g2.L
-    boys_rows = L + 8  # gathered Taylor rows live simultaneously
-    if S1 > 1 and S2 > 1:
-        per_quartet_bytes = a * c * (_ceil(S1, 8) * _ceil(S2, 128) + boys_rows) * 16
-    else:
-        per_quartet_bytes = a * c * (max(S1 * S2, H) + boys_rows) * 16
-    return int(np.clip((budget or CHUNK_BYTES_BUDGET) // per_quartet_bytes, 16, 1 << 12))
-
-
 def eri(
     system: MolecularSystem,
     positions=None,
@@ -244,7 +219,7 @@ def eri(
     (ops/eri_tiled.py). With ``screening_threshold > 0`` tile blocks whose
     Schwarz bound product is below threshold are skipped (entries stay zero).
     For systems too large to hold nao^4 in HBM use the integral-direct Fock
-    build instead (qchem_rs_tpu.ops.fock / parallel.fock_sharded).
+    build instead (ops/fock_stream.py / parallel/fock_sharded.py).
     """
     from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
 

@@ -137,6 +137,41 @@ def _brick_vals(L, BT1, T2, bra_refs, ket_refs, ia, t1, ic):
     return [dfl.mul(r, pref) for r in R]
 
 
+def _r2m_emission(vals, idx, sign, neg):
+    """Static (s1, s2) -> ±vals[idx[s1, s2]] register-write plan of the fused
+    kernel: dict mapping output slot to the (possibly negated) R value, with
+    negations computed once per Hermite entry. Pure Python over opaque
+    values — CPU-testable without Mosaic (tests/test_eri_pallas.py)."""
+    S1, S2 = idx.shape
+    out: dict[tuple[int, int], object] = {}
+    negs: dict[int, object] = {}
+    for s2 in range(S2):
+        flip = sign[s2] < 0
+        for s1 in range(S1):
+            h = int(idx[s1, s2])
+            if flip:
+                v = negs.get(h)
+                if v is None:
+                    v = negs[h] = neg(vals[h])
+            else:
+                v = vals[h]
+            out[(s1, s2)] = v
+    return out
+
+
+def _reorder_htab(hi, lo, Lb: int, Lk: int, a: int, c: int):
+    """XLA-side (s1, s2) reorder + ket parity signs for the fallback H-table
+    layout: (H, a, c, T1, T2) -> (a*S1, c*S2, T1, T2) pairs, where
+    out[ai*S1+s1, cj*S2+s2] = sign[s2] * htab[idx[s1, s2], ai, cj]."""
+    idx, sign = _r2_gather(Lb, Lk)
+    S1, S2 = idx.shape
+    hidx = jnp.asarray(np.tile(idx, (a, c)))  # (a*S1, c*S2)
+    ai = jnp.repeat(jnp.arange(a), S1)[:, None]
+    cj = jnp.repeat(jnp.arange(c), S2)[None, :]
+    sgn = jnp.asarray(np.tile(sign, c), jnp.float32)[None, :, None, None]
+    return hi[hidx, ai, cj] * sgn, lo[hidx, ai, cj] * sgn
+
+
 def _kernel_fused(Lb, Lk, BT1, *refs):
     """grid (T1//BT1, a, c): emit the contraction-ready R2m brick
     (S1, S2, BT1, T2) for one (t1-block, ia, ic) — the (s1, s2) reorder and
@@ -148,19 +183,9 @@ def _kernel_fused(Lb, Lk, BT1, *refs):
     T2 = ket_refs[0].shape[-1]
     t1, ia, ic = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     vals = _brick_vals(Lb + Lk, BT1, T2, bra_refs, ket_refs, ia, t1, ic)
-    negs: dict[int, tuple] = {}
-    for s2 in range(S2):
-        flip = sign[s2] < 0
-        for s1 in range(S1):
-            h = int(idx[s1, s2])
-            if flip:
-                v = negs.get(h)
-                if v is None:
-                    v = negs[h] = dfl.neg(vals[h])
-            else:
-                v = vals[h]
-            out_h[s1, s2] = v[0]
-            out_l[s1, s2] = v[1]
+    for (s1, s2), v in _r2m_emission(vals, idx, sign, dfl.neg).items():
+        out_h[s1, s2] = v[0]
+        out_l[s1, s2] = v[1]
 
 
 def _kernel_htab(Lb, Lk, BT1, *refs):
@@ -262,14 +287,7 @@ def r2m_tiles_pallas(Lb: int, Lk: int, p1, P1, p2, P2):
         )
         hi, lo = call(*(bra_ops + ket_ops))
     if not fused:
-        # XLA-side (s1, s2) reorder for the fallback H-table layout
-        idx, sign = _r2_gather(Lb, Lk)
-        hidx = jnp.asarray(np.tile(idx, (a, c)))  # (a*S1, c*S2)
-        ai = jnp.repeat(jnp.arange(a), S1)[:, None]
-        cj = jnp.repeat(jnp.arange(c), S2)[None, :]
-        sgn = jnp.asarray(np.tile(sign, c), jnp.float32)[None, :, None, None]
-        hi = hi[hidx, ai, cj] * sgn
-        lo = lo[hidx, ai, cj] * sgn
+        hi, lo = _reorder_htab(hi, lo, Lb, Lk, a, c)
     return hi, lo
 
 

@@ -490,6 +490,7 @@ class TiledEriEngine:
             # its pairs, making tile-level skip screening sharp and letting
             # the low-bound tail run in f32 (shell-index order mixes compact
             # and far pairs into every tile, defeating both)
+            self._sort_orders = [np.argsort(-b, kind="stable") for b in bounds]
             groups = [
                 dataclasses.replace(
                     g,
@@ -497,35 +498,28 @@ class TiledEriEngine:
                     ao_i=g.ao_i[o], ao_j=g.ao_j[o],
                     p=g.p[o], P=g.P[o], E=g.E[o],
                 )
-                for g, b in zip(groups, bounds)
-                for o in [np.argsort(-b, kind="stable")]
+                for g, o in zip(groups, self._sort_orders)
             ]
-            bounds = [b[np.argsort(-b, kind="stable")] for b in bounds]
+            bounds = [b[o] for b, o in zip(bounds, self._sort_orders)]
+        else:
+            self._sort_orders = None
         #: per-class Schwarz bounds in the (sorted) stored pair order, for
         #: consumers building their own tile lists (ops/fock_stream.py)
         self._sorted_bounds = bounds
         self.layout = PairSpaceLayout(system, groups)
         self.threshold = screening_threshold
-
-        metas = self.layout.metas
-        self._padded = [pad_group(g, m.npad) for g, m in zip(groups, metas)]
-        self._padded32 = [tuple(a.astype(jnp.float32) for a in p) for p in self._padded]
-        mode = _kernel_mode()
+        self._mode = mode = _kernel_mode()
+        self._set_padded(groups)
         if mode in ("df", "pallas"):
-            # df operands: E stays f64 (feeds the contractions only); p and
-            # P split into (hi, lo) f32 pairs for the elementwise chain
-            self._padded_df = [
-                (E,) + dfl.split_f64(p) + dfl.split_f64(P)
-                for (E, p, P) in self._padded
-            ]
             # f32-range guard: per-class max exponent sum (host data)
             cls = system.shell_classes
             self._pmax = {
                 (m.la, m.lb): float(
                     np.max(cls[m.la].alphas) + np.max(cls[m.lb].alphas)
                 )
-                for m in metas
+                for m in self.layout.metas
             }
+        metas = self.layout.metas
         self._tasks = []  # (name, fn, segments, operands) per class pair/dtype
         use_f32 = F32_TILE_BOUND > 0 and bounds is not None
         for i1, m1 in enumerate(metas):
@@ -566,6 +560,56 @@ class TiledEriEngine:
                         self._make_task(i1, i2, m1, m2, T1, T2, ti, tj,
                                         kernel=kmode)
                     )
+
+    def _set_padded(self, groups) -> None:
+        """(Re)materialize the geometry-carrying operand lists from pair
+        groups (already in the stored/sorted order)."""
+        metas = self.layout.metas
+        self._padded = [pad_group(g, m.npad) for g, m in zip(groups, metas)]
+        self._padded32 = [
+            tuple(a.astype(jnp.float32) for a in p) for p in self._padded
+        ]
+        if self._mode in ("df", "pallas"):
+            # df operands: E stays f64 (feeds the contractions only); p and
+            # P split into (hi, lo) f32 pairs for the elementwise chain
+            self._padded_df = [
+                (E,) + dfl.split_f64(p) + dfl.split_f64(P)
+                for (E, p, P) in self._padded
+            ]
+
+    def rebind_positions(self, positions) -> None:
+        """Swap the geometry operands for a displaced same-structure geometry
+        WITHOUT touching any compiled program: the pair tensors are runtime
+        arguments of every tile scan (see _make_task), so geometry pipelines
+        (optimize / frequencies / chained sweeps) reuse all executables.
+
+        The Schwarz tile lists and the bound-descending pair sort stay from
+        the construction geometry — bounds vary continuously with positions,
+        so for the small displacements these pipelines take the screening
+        drift is far below the threshold's own error budget. Construct a
+        fresh engine when the geometry changes wholesale."""
+        groups = build_pair_groups(self.system, jnp.asarray(positions))
+        if self._sort_orders is not None:
+            groups = [
+                dataclasses.replace(
+                    g,
+                    i_shell=g.i_shell[o], j_shell=g.j_shell[o],
+                    ao_i=g.ao_i[o], ao_j=g.ao_j[o],
+                    p=g.p[o], P=g.P[o], E=g.E[o],
+                )
+                for g, o in zip(groups, self._sort_orders)
+            ]
+        self._set_padded(groups)
+
+    def operand_arrays(self, i1: int, i2: int, okind: str):
+        """Current geometry operands for a class pair. Tasks store (i1, i2,
+        okind) instead of array tuples so rebind_positions takes effect."""
+        padded = {
+            "df": getattr(self, "_padded_df", None),
+            "f32": self._padded32,
+            "f64": self._padded,
+        }[okind]
+        return padded[i1] + padded[i2]
 
     def _df_in_range(self, m1: _ClassMeta, m2: _ClassMeta) -> bool:
         """base[n] = (-2 alpha)^n F_n must stay inside f32 range: alpha <=
@@ -644,18 +688,17 @@ class TiledEriEngine:
             for s in range(nseg)
         ]
         if kernel in ("df", "pallas"):
-            padded = self._padded_df
+            okind = "df"
         elif f32:
-            padded = self._padded32
+            okind = "f32"
         else:
-            padded = self._padded
-        operands = padded[i1] + padded[i2]
+            okind = "f64"
         suffix = "_f32" if f32 else {"df": "_df", "pallas": "_pl"}.get(kernel, "")
         return (
             f"v2_{m1.la}{m1.lb}_{m2.la}{m2.lb}" + suffix,
             jax.jit(block_program, donate_argnums=(0,) if DONATE_CARRY else ()),
             segments,
-            operands,
+            (i1, i2, okind),
         )
 
     # --- program list for thread-parallel precompilation -------------------
@@ -665,8 +708,8 @@ class TiledEriEngine:
         v2_spec = jax.ShapeDtypeStruct((M, M), jnp.float64)
         sd = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
         out = []
-        for name, fn, segments, operands in self._tasks:
-            spec = jax.tree.map(sd, (segments[0],) + operands)
+        for name, fn, segments, ospec in self._tasks:
+            spec = jax.tree.map(sd, (segments[0],) + self.operand_arrays(*ospec))
             out.append((name, fn, (v2_spec,) + spec))
         out.append(("finish_terms", self._finish_terms_jit, (v2_spec,)))
         return out
@@ -678,8 +721,9 @@ class TiledEriEngine:
         compiled = getattr(self, "_compiled", {})
         M = self.layout.M
         V2 = jnp.zeros((M, M), dtype=jnp.float64)
-        for name, fn, segments, operands in self._tasks:
+        for name, fn, segments, ospec in self._tasks:
             f = compiled.get(name, fn)
+            operands = self.operand_arrays(*ospec)
             for xs in segments:
                 V2 = f(V2, xs, *operands)
         return V2

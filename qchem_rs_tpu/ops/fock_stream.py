@@ -279,12 +279,7 @@ class StreamingFockBuilder:
             for s in range(nseg)
         ]
         name = f"jk_{m1.la}{m1.lb}_{m2.la}{m2.lb}"
-        padded = (
-            self.engine._padded_df
-            if kernel in ("df", "pallas")
-            else self.engine._padded
-        )
-        operands = padded[i1] + padded[i2]
+        okind = "df" if kernel in ("df", "pallas") else "f64"
         return (
             name,
             jax.jit(
@@ -292,7 +287,7 @@ class StreamingFockBuilder:
                 donate_argnums=(0, 1) if DONATE_CARRY else (),
             ),
             segments,
-            operands,
+            (i1, i2, okind),
         )
 
     # --- public API ---------------------------------------------------------
@@ -307,7 +302,8 @@ class StreamingFockBuilder:
         nd = D.shape[0]
         Jp = jnp.zeros((self.M, nd), jnp.float64)
         K1 = jnp.zeros((nd, nao, nao), jnp.float64)
-        for name, fn, segments, operands in self._tasks:
+        for name, fn, segments, ospec in self._tasks:
+            operands = self.engine.operand_arrays(*ospec)
             for xs in segments:
                 Jp, K1 = fn(Jp, K1, D, xs, *operands)
         J = jnp.take(Jp, self._pmap, axis=0).T.reshape(nd, nao, nao)

@@ -225,6 +225,16 @@ class MolecularSystem:
         atoms = [Atom(a.ordinal, np.asarray(p, dtype=np.float64)) for a, p in zip(self.atoms, positions)]
         return MolecularSystem(atoms, self.basis, spherical=self.spherical)
 
+    def structure_key(self) -> tuple:
+        """Hashable identity of everything EXCEPT the geometry. Two systems
+        with equal keys (and the same BasisSet object) share shell structure,
+        so compiled programs built for one run correctly on the other with
+        positions passed as runtime operands — the cache key that lets
+        optimize/frequencies/sweeps reuse executables across displaced
+        geometries (geometry flows only through the ``positions`` argument
+        of every integral program)."""
+        return (self.spherical, tuple(a.ordinal for a in self.atoms))
+
     def nuclear_repulsion(self) -> float:
         """Classical point-charge repulsion; mirrors
         compute_nuclear_repulsion (rhf.rs:110-122)."""
