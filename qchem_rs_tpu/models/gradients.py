@@ -113,6 +113,12 @@ def rhf_gradient(
     from qchem_rs_tpu.models.rhf import restricted_hartree_fock
 
     config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    if config.fock_mode == "pair":
+        # honor the no-n^4 memory envelope end to end: the pair-space
+        # gradient never materializes the (n^2, n^2) operator this trace does
+        from qchem_rs_tpu.models.gradients_pair import rhf_gradient_pair
+
+        return rhf_gradient_pair(system, config, output=output)
     out = output or restricted_hartree_fock(system, config)
     if not out.converged:
         raise RuntimeError("SCF not converged; gradient would be meaningless")

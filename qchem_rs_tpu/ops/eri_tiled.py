@@ -561,20 +561,39 @@ class TiledEriEngine:
                                         kernel=kmode)
                     )
 
+    def padded_groups(self, positions):
+        """Per-class padded (E, p, P) operand tuples at ``positions`` (may be
+        traced — the pair-space gradient differentiates through this), in the
+        engine's stored (bound-sorted) pair order."""
+        groups = build_pair_groups(self.system, positions)
+        if self._sort_orders is not None:
+            groups = [
+                dataclasses.replace(
+                    g,
+                    i_shell=g.i_shell[o], j_shell=g.j_shell[o],
+                    ao_i=g.ao_i[o], ao_j=g.ao_j[o],
+                    p=g.p[o], P=g.P[o], E=g.E[o],
+                )
+                for g, o in zip(groups, self._sort_orders)
+            ]
+        metas = self.layout.metas
+        return [pad_group(g, m.npad) for g, m in zip(groups, metas)]
+
     def _set_padded(self, groups) -> None:
         """(Re)materialize the geometry-carrying operand lists from pair
         groups (already in the stored/sorted order)."""
         metas = self.layout.metas
-        self._padded = [pad_group(g, m.npad) for g, m in zip(groups, metas)]
-        self._padded32 = [
-            tuple(a.astype(jnp.float32) for a in p) for p in self._padded
-        ]
+        self._apply_padded([pad_group(g, m.npad) for g, m in zip(groups, metas)])
+
+    def _apply_padded(self, padded) -> None:
+        self._padded = padded
+        self._padded32 = [tuple(a.astype(jnp.float32) for a in p) for p in padded]
         if self._mode in ("df", "pallas"):
             # df operands: E stays f64 (feeds the contractions only); p and
             # P split into (hi, lo) f32 pairs for the elementwise chain
             self._padded_df = [
                 (E,) + dfl.split_f64(p) + dfl.split_f64(P)
-                for (E, p, P) in self._padded
+                for (E, p, P) in padded
             ]
 
     def rebind_positions(self, positions) -> None:
@@ -588,18 +607,7 @@ class TiledEriEngine:
         so for the small displacements these pipelines take the screening
         drift is far below the threshold's own error budget. Construct a
         fresh engine when the geometry changes wholesale."""
-        groups = build_pair_groups(self.system, jnp.asarray(positions))
-        if self._sort_orders is not None:
-            groups = [
-                dataclasses.replace(
-                    g,
-                    i_shell=g.i_shell[o], j_shell=g.j_shell[o],
-                    ao_i=g.ao_i[o], ao_j=g.ao_j[o],
-                    p=g.p[o], P=g.P[o], E=g.E[o],
-                )
-                for g, o in zip(groups, self._sort_orders)
-            ]
-        self._set_padded(groups)
+        self._apply_padded(self.padded_groups(jnp.asarray(positions)))
 
     def operand_arrays(self, i1: int, i2: int, okind: str):
         """Current geometry operands for a class pair. Tasks store (i1, i2,
