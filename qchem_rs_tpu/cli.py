@@ -282,7 +282,10 @@ def cmd_optimize(args) -> int:
     from qchem_rs_tpu.models.optimize import optimize_geometry
 
     system, cfg = _build(args)
-    if cfg.spin_multiplicity == 0:
+    open_shell = cfg.spin_multiplicity not in (0, 1) or (
+        system.n_electrons(cfg.charge) % 2 == 1
+    )
+    if cfg.spin_multiplicity == 0 and not open_shell:
         cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
     start = time.perf_counter()
     res = optimize_geometry(system, cfg, gtol=args.gtol, max_steps=args.max_steps)
@@ -305,7 +308,10 @@ def cmd_frequencies(args) -> int:
     from qchem_rs_tpu.models.optimize import optimize_geometry
 
     system, cfg = _build(args)
-    if cfg.spin_multiplicity == 0:
+    open_shell = cfg.spin_multiplicity not in (0, 1) or (
+        system.n_electrons(cfg.charge) % 2 == 1
+    )
+    if cfg.spin_multiplicity == 0 and not open_shell:
         cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
     start = time.perf_counter()
     if args.opt_first:
@@ -405,7 +411,7 @@ def main(argv=None) -> int:
     p_opt = sub.add_parser(
         "optimize", help="geometry optimization on analytic RHF gradients"
     )
-    _common_flags(p_opt, uhf=False)
+    _common_flags(p_opt, uhf=True)
     p_opt.add_argument(
         "--gtol", type=float, default=3e-5,
         help="max-abs gradient convergence threshold (Hartree/Bohr)",
@@ -419,7 +425,7 @@ def main(argv=None) -> int:
     p_freq = sub.add_parser(
         "frequencies", help="harmonic vibrational frequencies (RHF)"
     )
-    _common_flags(p_freq, uhf=False)
+    _common_flags(p_freq, uhf=True)
     p_freq.add_argument(
         "--opt-first",
         action="store_true",

@@ -142,6 +142,33 @@ def rhf_energy_and_gradient(system, config=None, **kw):
     return out.total_energy(), rhf_gradient(system, config, output=out)
 
 
+def is_open_shell(system: MolecularSystem, config: HartreeFockConfig) -> bool:
+    """UHF-required: explicit multiplicity != singlet, or an odd electron
+    count (the reference would silently run its n/2-n/2 split here —
+    uhf.rs:43-45; we route to a correct UHF instead)."""
+    return config.spin_multiplicity not in (0, 1) or (
+        system.n_electrons(config.charge) % 2 == 1
+    )
+
+
+def scf_and_gradient(system, config, *, density_guess=None):
+    """(output, gradient) with the SCF method chosen by shell parity —
+    the shared engine behind optimize_geometry and hessian_fd, so both
+    pipelines serve open shells through uhf_gradient."""
+    from qchem_rs_tpu.models.rhf import restricted_hartree_fock
+    from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock
+
+    if is_open_shell(system, config):
+        out = unrestricted_hartree_fock(system, config, density_guess=density_guess)
+        if not out.converged:
+            raise RuntimeError("SCF did not converge")
+        return out, uhf_gradient(system, config, output=out)
+    out = restricted_hartree_fock(system, config, density_guess=density_guess)
+    if not out.converged:
+        raise RuntimeError("SCF did not converge")
+    return out, rhf_gradient(system, config, output=out)
+
+
 def uhf_gradient(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,

@@ -64,9 +64,8 @@ def hessian_fd(
     step: float = 5e-3,
 ) -> np.ndarray:
     """(3N, 3N) Cartesian Hessian by central differences of the analytic
-    gradient, symmetrized. ``step`` in Bohr."""
-    from qchem_rs_tpu.models.gradients import rhf_gradient
-    from qchem_rs_tpu.models.rhf import restricted_hartree_fock
+    gradient (RHF, or UHF for open shells), symmetrized. ``step`` in Bohr."""
+    from qchem_rs_tpu.models.gradients import scf_and_gradient
 
     config = config or HartreeFockConfig(epsilon=1e-11, max_iterations=300)
     x0 = np.asarray(system.positions, dtype=np.float64)
@@ -79,11 +78,12 @@ def hessian_fd(
             x = x0.copy().reshape(-1)
             x[k] += sgn * step
             sys_x = system.with_positions(x.reshape(x0.shape))
-            out = restricted_hartree_fock(sys_x, config, density_guess=guess)
-            if not out.converged:
-                raise RuntimeError("SCF not converged during Hessian build")
+            try:
+                out, g = scf_and_gradient(sys_x, config, density_guess=guess)
+            except RuntimeError as e:
+                raise RuntimeError(f"{e} during Hessian build") from e
             guess = out.density
-            cols.append(rhf_gradient(sys_x, config, output=out).reshape(-1))
+            cols.append(g.reshape(-1))
         H[:, k] = (cols[0] - cols[1]) / (2.0 * step)
     return 0.5 * (H + H.T)
 

@@ -1,10 +1,12 @@
-"""Geometry optimization on analytic RHF gradients.
+"""Geometry optimization on analytic gradients (RHF, or UHF for open
+shells — method chosen by shell parity, models/gradients.is_open_shell).
 
 Closes the energy -> forces -> structures loop the reference cannot enter
 (qchem-rs computes single-point energies only): L-BFGS-B over the nuclear
 coordinates, with every energy/gradient from a freshly converged SCF —
 warm-started from the previous geometry's density, so each step costs an
-execution, not a compile (the one-program warm-start machinery).
+execution, not a compile (the one-program warm-start machinery plus the
+structure-keyed engine caches, models/rhf._tools_slot).
 """
 
 from __future__ import annotations
@@ -42,8 +44,7 @@ def optimize_geometry(
     <= 1e-9 recommended) — gradient noise stalls quasi-Newton updates."""
     from scipy.optimize import minimize
 
-    from qchem_rs_tpu.models.gradients import rhf_gradient
-    from qchem_rs_tpu.models.rhf import restricted_hartree_fock
+    from qchem_rs_tpu.models.gradients import scf_and_gradient
 
     config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=300)
     shape = np.asarray(system.positions).shape
@@ -51,15 +52,13 @@ def optimize_geometry(
 
     def eg(x):
         sys_x = system.with_positions(x.reshape(shape))
-        out = restricted_hartree_fock(
-            sys_x, config, density_guess=state["density"]
-        )
-        if not out.converged:
-            raise RuntimeError("SCF did not converge during optimization")
+        try:
+            out, g = scf_and_gradient(sys_x, config, density_guess=state["density"])
+        except RuntimeError as e:
+            raise RuntimeError(f"{e} during optimization") from e
         state["density"] = out.density
         state["energies"].append(out.total_energy())
         state["steps"] += 1
-        g = rhf_gradient(sys_x, config, output=out)
         return out.total_energy(), g.reshape(-1)
 
     res = minimize(
