@@ -1,6 +1,8 @@
 """UHF: closed-shell equivalence with RHF, open-shell behavior, charge/spin
 support the reference lacks (main.rs:111-117 drops the flags)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -72,6 +74,29 @@ def test_uhf_doublet_oh_radical():
     assert (
         np.abs(dbl.orbital_energies_alpha - dbl.orbital_energies_beta).max() > 1e-3
     )
+
+
+def test_uhf_diis_err_metric_finds_fixed_point():
+    """The commutator-norm stopping rule (the TPU noise-floor fix, see
+    tools/calibrate_diis_err.py) reaches the true UHF fixed point.
+
+    Measured (CPU, this config): the fixed point is -75.363169916 Eh
+    (diag_rms@1e-10, diis_err@1e-11 and energy@1e-12 all agree to 1e-11);
+    the reference-quirk diag_rms@1e-8 stops 8.3e-8 Eh SHORT of it — the
+    diagonal-only density RMS under-observes this radical's slow tail. So
+    the comparison target here is the tightly-converged run, not the
+    default metric."""
+    system = load_reference_system("hydroxyl", "6-31G")
+    base = HartreeFockConfig(epsilon=1e-8, max_iterations=500, spin_multiplicity=2)
+    ref = unrestricted_hartree_fock(
+        system, dataclasses.replace(base, epsilon=1e-10)
+    )
+    b = unrestricted_hartree_fock(
+        system,
+        dataclasses.replace(base, epsilon=1e-9, convergence_metric="diis_err"),
+    )
+    assert ref.converged and b.converged
+    assert abs(ref.total_energy() - b.total_energy()) < 1e-9
 
 
 def test_uhf_cation_doublet():

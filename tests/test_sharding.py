@@ -77,6 +77,38 @@ def test_pair_sharded_jk_matches_dense(water):
     np.testing.assert_allclose(np.asarray(K), Kd, atol=1e-10)
 
 
+def test_sharded_engines_beyond_toy():
+    """Ethylene/6-31G* on the 8-way mesh: d shells, 6 tile classes, REAL
+    Schwarz screening — both sharded engines vs the dense build at 1e-10
+    (the toy water/STO-3G cases exercise only 3 classes and no screening
+    pressure)."""
+    from qchem_rs_tpu.ops.fock_pair import PairSpaceShardedFockBuilder
+
+    system = load_reference_system("ethylene", "6-31G_st")
+    n = system.n_basis()
+    assert n >= 38
+    rng = np.random.default_rng(3)
+    D = rng.standard_normal((n, n))
+    D = D + D.T
+    E = np.asarray(eri(system))
+    Jd = np.einsum("ijkl,kl->ij", E, D)
+    Kd = np.einsum("ikjl,kl->ij", E, D)
+    scale = max(np.abs(Jd).max(), np.abs(Kd).max())
+    mesh = data_mesh(8, axis="q")
+
+    stream = ShardedFockBuilder(system, mesh, axis="q", threshold=1e-12)
+    J, K = stream.jk(D)
+    assert np.abs(np.asarray(J) - Jd).max() / scale < 1e-10
+    assert np.abs(np.asarray(K) - Kd).max() / scale < 1e-10
+
+    pair = PairSpaceShardedFockBuilder(system, mesh, axis="q", threshold=1e-12)
+    V2f, W = pair.prepare()
+    assert len(V2f.sharding.device_set) == 8
+    Jp, Kp = pair.jk(D)
+    assert np.abs(np.asarray(Jp) - Jd).max() / scale < 1e-10
+    assert np.abs(np.asarray(Kp) - Kd).max() / scale < 1e-10
+
+
 def test_pair_sharded_rhf_energy(water):
     """Full RHF through the sharded pair builder reaches the same energy."""
     import jax.numpy as jnp

@@ -1,0 +1,99 @@
+"""On-device diis_err stopping calibration (VERDICT round-3 item 4).
+
+The reference stops on the density-RMS diagonal (rhf.rs:87-88); on emulated
+f64 the density wanders at the noise floor and diag_rms 1e-8 costs ~45
+iterations where 13 suffice (docs/PROFILE_r03.md). The commutator norm
+max|FDS - SDF| observes distance-to-fixed-point directly. This script finds
+the diis_err epsilon equivalent to 1e-8 Eh energy stability on the CURRENT
+backend.
+
+Ground truth: the TIGHTEST CONVERGED diis_err rung of the ladder itself.
+Measured on CPU (docs/PROFILE_r04.md): diis_err@1e-9..1e-11, diag_rms@1e-10
+and energy@1e-12 all agree to ~1e-11 Eh, while the reference-quirk
+diag_rms@1e-8 can stop 8.3e-8 Eh SHORT of the fixed point (OH/6-31G UHF) —
+so neither diag_rms@1e-8 nor an |dE| stop (which can trigger spuriously
+EARLY inside the TPU's ~1e-8 energy noise floor) is a safe reference. Both
+are still run and printed as context: diag_rms@1e-8's iteration count is
+the number the calibrated rule must beat on-device.
+
+Run on the TPU:  python tools/calibrate_diis_err.py [molecule] [basis]
+Prints one JSON line per run and a final recommendation line.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+LADDER = (1e-3, 3e-4, 1e-4, 3e-5, 1e-5, 3e-6, 1e-6, 1e-7, 1e-8, 1e-9)
+
+
+def main():
+    mol = sys.argv[1] if len(sys.argv) > 1 else "benzene"
+    basis_name = sys.argv[2] if len(sys.argv) > 2 else "cc-pVDZ"
+
+    from qchem_rs_tpu import (
+        BasisSet,
+        HartreeFockConfig,
+        MolecularSystem,
+        restricted_hartree_fock,
+    )
+
+    basis = BasisSet.load(os.path.join(ROOT, "data", "basis", f"{basis_name}.json"))
+    system = MolecularSystem.load(os.path.join(ROOT, "data", "mol", f"{mol}.json"), basis)
+    base = HartreeFockConfig(
+        epsilon=1e-8, max_iterations=200, convergence_metric="diag_rms"
+    )
+
+    def run(metric, eps):
+        cfg = dataclasses.replace(base, epsilon=eps, convergence_metric=metric)
+        t0 = time.perf_counter()
+        out = restricted_hartree_fock(system, cfg)
+        return out, time.perf_counter() - t0
+
+    # context: the baseline rule whose on-device iteration count the
+    # calibrated rule must beat (45-50 on TPU round 2, 13 on CPU)
+    ref_diag, dt = run("diag_rms", 1e-8)
+    print(json.dumps({
+        "config": f"{mol}/{basis_name}", "metric": "diag_rms", "epsilon": 1e-8,
+        "iterations": ref_diag.iterations, "converged": bool(ref_diag.converged),
+        "total_energy": round(ref_diag.total_energy(), 10), "run_s": round(dt, 3),
+    }), flush=True)
+
+    rows = []
+    for eps in LADDER:
+        out, dt = run("diis_err", eps)
+        row = {
+            "metric": "diis_err", "epsilon": eps, "iterations": out.iterations,
+            "converged": bool(out.converged),
+            "total_energy": round(out.total_energy(), 11), "run_s": round(dt, 3),
+        }
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    converged = [r for r in rows if r["converged"]]
+    if not converged:
+        print(json.dumps({"recommended": None, "reason": "no rung converged"}),
+              flush=True)
+        return
+    e_ref = converged[-1]["total_energy"]  # tightest converged rung
+    best = None
+    for r in converged:  # loosest-first
+        r["dE_vs_ref"] = float(f"{abs(r['total_energy'] - e_ref):.3e}")
+        if best is None and r["dE_vs_ref"] < 1e-8:
+            best = r
+    print(json.dumps({
+        "fixed_point": e_ref,
+        "diag_rms_1e8_short_by": float(
+            f"{abs(ref_diag.total_energy() - e_ref):.3e}"
+        ),
+        "recommended": best,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
