@@ -49,10 +49,12 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
         )
     p.add_argument(
         "--convergence",
-        choices=["diag_rms", "full_rms", "energy"],
+        choices=["diag_rms", "full_rms", "energy", "diis_err"],
         default="diag_rms",
         help="convergence metric (diag_rms matches the reference quirk; "
-        "energy stops on |dE| < epsilon in Hartree)",
+        "energy stops on |dE| < epsilon in Hartree; diis_err on the "
+        "max|FDS-SDF| commutator norm — the noise-robust choice on "
+        "emulated-f64 TPU, see tools/calibrate_diis_err.py)",
     )
     p.add_argument("--mixing", type=float, default=1.0, help="density mixing factor (1.0 = no damping)")
     p.add_argument(
@@ -278,6 +280,39 @@ def cmd_mp2(args) -> int:
     return 0
 
 
+def cmd_cis(args) -> int:
+    from qchem_rs_tpu.models.cis import HARTREE_TO_EV, cis
+
+    system, cfg = _build(args)
+    start = time.perf_counter()
+    try:
+        res = cis(
+            system, cfg,
+            nstates=args.nstates,
+            triplet=args.triplet,
+            tdhf=args.tdhf,
+        )
+    except RuntimeError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    elapsed = time.perf_counter() - start
+    kind = res.method
+    spin = "triplet" if res.triplet else "singlet"
+    print(
+        f"{kind} ({spin}) finished after {res.iterations} SCF iterations "
+        f"and {elapsed:0.2f}s"
+    )
+    print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
+    for i, (w, f) in enumerate(
+        zip(res.excitation_energies, res.oscillator_strengths), start=1
+    ):
+        print(
+            f"state {i}: {w:0.6f} Eh  {w * HARTREE_TO_EV:8.4f} eV  "
+            f"f = {f:0.6f}"
+        )
+    return 0
+
+
 def cmd_optimize(args) -> int:
     from qchem_rs_tpu.models.optimize import optimize_geometry
 
@@ -407,6 +442,24 @@ def main(argv=None) -> int:
     )
     _common_flags(p_mp2, uhf=True)
     p_mp2.set_defaults(fn=cmd_mp2)
+
+    p_cis = sub.add_parser(
+        "cis",
+        help="CIS / TDHF excitation energies on a converged RHF "
+        "(closed-shell; --fock-mode pair avoids the n^4 AO tensor)",
+    )
+    _common_flags(p_cis, uhf=False)
+    p_cis.add_argument(
+        "--nstates", type=int, default=5, help="number of excited states"
+    )
+    p_cis.add_argument(
+        "--triplet", action="store_true", help="triplet excitations"
+    )
+    p_cis.add_argument(
+        "--tdhf", action="store_true",
+        help="full TDHF/RPA instead of the CIS (Tamm-Dancoff) problem",
+    )
+    p_cis.set_defaults(fn=cmd_cis)
 
     p_opt = sub.add_parser(
         "optimize", help="geometry optimization on analytic RHF gradients"

@@ -1,0 +1,217 @@
+"""CIS and TDHF (RPA) excitation energies on converged RHF orbitals.
+
+A capability rung above the reference (qchem-rs stops at ground-state
+mean-field energies, /root/reference/README.md:1-6), extending the post-HF
+tier (models/mp2.py) to excited states. TPU-first in the same way: the MO
+transforms are MXU matmuls — in pair mode two matmuls against the resident
+pair-space V2f matrix per integral block, never an n^4 AO tensor — and the
+excitation problem is one dense symmetric eigensolve.
+
+Closed-shell spin-adapted forms (real orbitals):
+
+    A[ia,jb] = d_ij d_ab (e_a - e_i) + 2 (ia|jb) - (ij|ab)   (singlet)
+             = d_ij d_ab (e_a - e_i)            - (ij|ab)   (triplet)
+    B[ia,jb] =                        2 (ia|jb) - (ib|ja)   (singlet)
+             =                                  - (ib|ja)   (triplet)
+
+CIS diagonalizes A. TDHF solves the RPA problem via Casida's reduction for
+real orbitals: with S = (A - B)^(1/2), the eigenvalues of S (A + B) S are
+omega^2 and (X + Y) = S Z / sqrt(omega) for unit eigenvectors Z (A - B must
+be positive definite — true at a stable RHF minimum; a non-PD A - B raises,
+which doubles as an instability detector). Oscillator strengths in the
+length gauge: f = (2/3) omega |sqrt(2) d_ov . (X + Y)|^2, with X = the CIS
+vector and Y = 0 for CIS. Triplet states are spin-forbidden (f = 0).
+
+The dense eigensolve bounds system size at no*nv ~ few 10^3 (naphthalene/
+cc-pVDZ is 5304 — fine); a Davidson iteration over implicit matvecs is the
+documented growth path beyond that.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qchem_rs_tpu.config import HartreeFockConfig
+from qchem_rs_tpu.utils.system import MolecularSystem
+
+HARTREE_TO_EV = 27.211386245988
+
+
+@dataclasses.dataclass
+class CisOutput:
+    scf_total_energy: float
+    excitation_energies: np.ndarray  # (nstates,) Hartree, ascending
+    oscillator_strengths: np.ndarray  # (nstates,) length gauge; 0 for triplet
+    iterations: int  # SCF iterations of the underlying ground state
+    method: str  # "cis" | "tdhf"
+    triplet: bool
+
+    def excitation_energies_ev(self) -> np.ndarray:
+        return self.excitation_energies * HARTREE_TO_EV
+
+
+@jax.jit
+def _transform_oovv(e4: jax.Array, Co: jax.Array, Cv: jax.Array):
+    """(pq|rs) -> (ij|ab): four quarter-transforms, one buffer at a time."""
+    x = jnp.einsum("pqrs,pi->iqrs", e4, Co)
+    x = jnp.einsum("iqrs,qj->ijrs", x, Co)
+    x = jnp.einsum("ijrs,ra->ijas", x, Cv)
+    return jnp.einsum("ijas,sb->ijab", x, Cv)
+
+
+def _cis_blocks_dense(engine, Co, Cv):
+    """(ia|jb) and (ij|ab) through the dense AO tensor (incore tier)."""
+    from qchem_rs_tpu.models.mp2 import _transform_ovov
+
+    e4 = engine.finish_eri(engine.build())
+    return _transform_ovov(e4, Co, Cv), _transform_oovv(e4, Co, Cv)
+
+
+def _cis_blocks_pair(builder, Co, Cv):
+    """(ia|jb) and (ij|ab) against the resident pair-space V2f — two MXU
+    matmuls per block, no n^4 tensor (same envelope as mp2_pair_space)."""
+    from qchem_rs_tpu.models.mp2 import _pair_transform_matrix
+
+    if builder._prepared is not None:
+        V2f = builder._prepared[0]
+    else:
+        from qchem_rs_tpu.ops.fock_pair import _mirror
+
+        V2f = jax.jit(_mirror, donate_argnums=(0,))(builder.engine.build())
+    no, nv = Co.shape[1], Cv.shape[1]
+    U_ov = _pair_transform_matrix(builder, Co, Cv)
+    U_oo = _pair_transform_matrix(builder, Co, Co)
+    U_vv = _pair_transform_matrix(builder, Cv, Cv)
+
+    @jax.jit
+    def contract(V2f, L, R):
+        return L.T @ (V2f @ R)
+
+    ovov = contract(V2f, U_ov, U_ov).reshape(no, nv, no, nv)
+    oovv = contract(V2f, U_oo, U_vv).reshape(no, no, nv, nv)
+    return ovov, oovv
+
+
+@partial(jax.jit, static_argnames=("singlet",))
+def _assemble_AB(ovov, oovv, eps_o, eps_v, singlet: bool):
+    """Dense A and B over the compound (ia) index, spin-adapted."""
+    no, nv = ovov.shape[0], ovov.shape[1]
+    n = no * nv
+    diag = (eps_v[None, :] - eps_o[:, None]).reshape(n)
+    K = 2.0 * ovov if singlet else jnp.zeros_like(ovov)
+    A = (K - oovv.transpose(0, 2, 1, 3)).reshape(n, n) + jnp.diag(diag)
+    B = (K - ovov.transpose(0, 3, 2, 1)).reshape(n, n)
+    return A, B
+
+
+@jax.jit
+def _cis_solve(A):
+    return jnp.linalg.eigh(A)
+
+
+@jax.jit
+def _tdhf_solve(A, B):
+    """Casida reduction: eigvals of S (A+B) S with S = (A-B)^(1/2).
+
+    Returns (omega^2 ascending, X+Y columns scaled for X^T X - Y^T Y = 1,
+    min eigenvalue of A - B for the caller's stability check)."""
+    wm, Um = jnp.linalg.eigh(A - B)
+    S = (Um * jnp.sqrt(jnp.maximum(wm, 0.0))) @ Um.T
+    w2, Z = jnp.linalg.eigh(S @ (A + B) @ S)
+    omega = jnp.sqrt(jnp.maximum(w2, 0.0))
+    xpy = (S @ Z) / jnp.sqrt(jnp.maximum(omega, 1e-30))
+    return w2, xpy, jnp.min(wm)
+
+
+def _mo_transition_dipoles(system, C, nocc):
+    """d_ov[3, no, nv] = <i| r |a> in the SCF working AO basis."""
+    from qchem_rs_tpu.ops import one_electron
+
+    d_ao = one_electron.dipole_integrals(system)
+    Co, Cv = C[:, :nocc], C[:, nocc:]
+    return jnp.einsum("pi,dpq,qa->dia", Co, d_ao, Cv)
+
+
+def cis(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    nstates: int = 5,
+    triplet: bool = False,
+    tdhf: bool = False,
+    output=None,
+) -> CisOutput:
+    """Lowest ``nstates`` CIS (or TDHF) excitations on a converged RHF.
+
+    ``config.fock_mode == "pair"`` routes the MO-integral blocks through
+    the pair-space V2f matrix (no n^4 AO tensor — the same memory envelope
+    that runs naphthalene/cc-pVDZ on one chip); any other mode uses the
+    dense incore transform.
+    """
+    from qchem_rs_tpu.models.rhf import (
+        _direct_tools,
+        _incore_tools,
+        restricted_hartree_fock,
+    )
+
+    config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    out = output or restricted_hartree_fock(system, config)
+    if not out.converged:
+        raise RuntimeError("SCF not converged; CIS needs a converged reference")
+    nocc = system.n_electrons(config.charge) // 2
+    C = jnp.asarray(out.coefficients)
+    eps = jnp.asarray(out.orbital_energies)
+    nv = C.shape[1] - nocc
+    if nocc == 0 or nv == 0:
+        raise ValueError("CIS needs at least one occupied and one virtual orbital")
+
+    if config.fock_mode == "pair":
+        Cx = C
+        if system.spherical:
+            # V2f is Cartesian: lift the MO coefficients (mp2.py pattern)
+            Cx = jnp.asarray(system.sph_T) @ C
+        builder = _direct_tools(system, config, "pair")
+        ovov, oovv = _cis_blocks_pair(builder, Cx[:, :nocc], Cx[:, nocc:])
+    else:
+        _, engine = _incore_tools(system, config)
+        ovov, oovv = _cis_blocks_dense(engine, C[:, :nocc], C[:, nocc:])
+
+    A, B = _assemble_AB(ovov, oovv, eps[:nocc], eps[nocc:], not triplet)
+    # transition dipoles live in the SCF working basis (NOT the Cartesian
+    # lift): d_ov from the original C
+    d_ov = _mo_transition_dipoles(system, C, nocc).reshape(3, -1)
+
+    if tdhf:
+        w2, xpy, wm_min = _tdhf_solve(A, B)
+        if float(wm_min) <= 0.0:
+            raise RuntimeError(
+                "A - B is not positive definite: the RHF reference is "
+                f"unstable (min eig {float(wm_min):.3e}); TDHF is undefined"
+            )
+        omega = np.sqrt(np.maximum(np.asarray(w2), 0.0))
+        amp = xpy  # (X + Y), normalized X^T X - Y^T Y = 1
+    else:
+        omega_arr, X = _cis_solve(A)
+        omega = np.asarray(omega_arr)
+        amp = X  # Y = 0
+
+    k = min(nstates, omega.shape[0])
+    # spin-adapted transition dipole: sqrt(2) d . (X + Y); triplet forbidden
+    t = np.asarray(jnp.einsum("dn,nk->dk", jnp.asarray(d_ov), amp)) * np.sqrt(2.0)
+    f = (2.0 / 3.0) * omega * (t**2).sum(axis=0)
+    if triplet:
+        f = np.zeros_like(f)
+    return CisOutput(
+        scf_total_energy=out.total_energy(),
+        excitation_energies=omega[:k],
+        oscillator_strengths=f[:k],
+        iterations=out.iterations,
+        method="tdhf" if tdhf else "cis",
+        triplet=triplet,
+    )

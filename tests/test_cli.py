@@ -100,6 +100,22 @@ def test_mp2_subcommand(capsys):
     assert "mp2 total energy:" in out
 
 
+def test_cis_subcommand(capsys):
+    rc = cli.main(
+        [
+            "cis",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--epsilon", "1e-10",
+            "--nstates", "1",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "cis (singlet) finished" in out
+    assert "state 1:" in out and "eV  f =" in out
+
+
 def test_optimize_subcommand(capsys):
     rc = cli.main(
         [
