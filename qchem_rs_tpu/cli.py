@@ -265,10 +265,12 @@ def cmd_mp2(args) -> int:
         fn = mp2_pair_space
     else:
         fn = mp2
+    frozen = getattr(args, "frozen_core", "0")
+    frozen = frozen if frozen == "auto" else int(frozen)
     start = time.perf_counter()
     try:
-        res = fn(system, cfg)
-    except RuntimeError as e:
+        res = fn(system, cfg, frozen=frozen)
+    except (RuntimeError, ValueError) as e:
         print(str(e), file=sys.stderr)
         return 1
     elapsed = time.perf_counter() - start
@@ -441,6 +443,13 @@ def main(argv=None) -> int:
         "for open shells)",
     )
     _common_flags(p_mp2, uhf=True)
+    p_mp2.add_argument(
+        "--frozen-core",
+        default="0",
+        metavar="N|auto",
+        help="core spatial orbitals excluded from correlation: an integer "
+        "or 'auto' (1s for Li-Ne, 1s2s2p for Na-Ar)",
+    )
     p_mp2.set_defaults(fn=cmd_mp2)
 
     p_cis = sub.add_parser(

@@ -37,6 +37,31 @@ class Mp2Output:
         return self.scf_total_energy + self.correlation_energy
 
 
+#: chemical-core orbital counts per element (H..Ar; Z -> frozen spatial
+#: orbitals). The standard frozen-core partition: 1s for Li-Ne, 1s2s2p for
+#: Na-Ar. Used by frozen="auto".
+_CORE_ORBITALS = {z: 0 for z in (1, 2)}
+_CORE_ORBITALS.update({z: 1 for z in range(3, 11)})
+_CORE_ORBITALS.update({z: 5 for z in range(11, 19)})
+
+
+def _n_frozen(system, frozen) -> int:
+    """Resolve the frozen-core orbital count; "auto" uses the chemical-core
+    table, an int passes through (0 disables)."""
+    if frozen == "auto":
+        try:
+            return sum(_CORE_ORBITALS[a.ordinal] for a in system.atoms)
+        except KeyError as e:
+            raise ValueError(
+                f"no frozen-core count for element Z={e.args[0]}; pass an "
+                "explicit integer"
+            ) from None
+    n = int(frozen)
+    if n < 0:
+        raise ValueError("frozen must be >= 0 or 'auto'")
+    return n
+
+
 @jax.jit
 def _mp2_from_mo(eri_mo_ovov: jax.Array, eps_o: jax.Array, eps_v: jax.Array):
     """E_MP2 from (ia|jb) integrals, shape (no, nv, no, nv)."""
@@ -87,6 +112,7 @@ def mp2_pair_space(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
     *,
+    frozen: int | str = 0,
     output=None,
 ) -> Mp2Output:
     """MP2 through the pair-space ERI matrix — NO n^4 tensor anywhere.
@@ -104,6 +130,9 @@ def mp2_pair_space(
     if not out.converged:
         raise RuntimeError("SCF not converged; MP2 would be meaningless")
     nocc = system.n_electrons(config.charge) // 2
+    nfz = _n_frozen(system, frozen)
+    if nfz >= nocc:
+        raise ValueError(f"frozen={nfz} leaves no correlated occupied orbitals")
     C = jnp.asarray(out.coefficients)
     if system.spherical:
         # V2f is Cartesian: lift the MO coefficients to the Cartesian AOs
@@ -118,7 +147,7 @@ def mp2_pair_space(
         from qchem_rs_tpu.ops.fock_pair import _mirror
 
         V2f = jax.jit(_mirror, donate_argnums=(0,))(builder.engine.build())
-    Co, Cv = C[:, :nocc], C[:, nocc:]
+    Co, Cv = C[:, nfz:nocc], C[:, nocc:]
     U = _pair_transform_matrix(builder, Co, Cv)
 
     @jax.jit
@@ -126,9 +155,9 @@ def mp2_pair_space(
         half = V2f @ U  # (M, no*nv)
         return U.T @ half  # (no*nv, no*nv)
 
-    no, nv = nocc, C.shape[1] - nocc
+    no, nv = nocc - nfz, C.shape[1] - nocc
     ovov = contract(V2f, U).reshape(no, nv, no, nv)
-    ecorr = float(_mp2_from_mo(ovov, eps[:nocc], eps[nocc:]))
+    ecorr = float(_mp2_from_mo(ovov, eps[nfz:nocc], eps[nocc:]))
     return Mp2Output(
         scf_total_energy=out.total_energy(),
         correlation_energy=ecorr,
@@ -160,6 +189,7 @@ def ump2(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
     *,
+    frozen: int | str = 0,
     output=None,
 ) -> Mp2Output:
     """Spin-unrestricted MP2 on converged UHF orbitals:
@@ -183,9 +213,12 @@ def ump2(
     eps = jnp.stack(
         [jnp.asarray(out.orbital_energies_alpha), jnp.asarray(out.orbital_energies_beta)]
     )
+    nfz = _n_frozen(system, frozen)
+    if nfz >= min(nocc):
+        raise ValueError(f"frozen={nfz} leaves no correlated occupied orbitals")
     _, engine = _incore_tools(system, config)
     e4 = engine.finish_eri(engine.build())
-    Co = [C[s][:, : nocc[s]] for s in range(2)]
+    Co = [C[s][:, nfz : nocc[s]] for s in range(2)]
     Cv = [C[s][:, nocc[s] :] for s in range(2)]
     ss_a = _transform_ovov(e4, Co[0], Cv[0])
     ss_b = _transform_ovov(e4, Co[1], Cv[1])
@@ -197,8 +230,8 @@ def ump2(
     ecorr = float(
         _ump2_pair(
             ss_a, ss_b, os_ab,
-            eps[0][: nocc[0]], eps[0][nocc[0] :],
-            eps[1][: nocc[1]], eps[1][nocc[1] :],
+            eps[0][nfz : nocc[0]], eps[0][nocc[0] :],
+            eps[1][nfz : nocc[1]], eps[1][nocc[1] :],
         )
     )
     return Mp2Output(
@@ -212,12 +245,16 @@ def mp2(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
     *,
+    frozen: int | str = 0,
     output=None,
 ) -> Mp2Output:
     """Run (or reuse) a converged RHF and return the MP2 correlation energy.
 
     Tight SCF convergence recommended (epsilon <= 1e-8): the correlation
-    energy inherits first-order sensitivity to the orbital residual."""
+    energy inherits first-order sensitivity to the orbital residual.
+    ``frozen``: number of core spatial orbitals excluded from the
+    correlation treatment (0, an int, or "auto" for the chemical core —
+    1s for Li-Ne, 1s2s2p for Na-Ar)."""
     from qchem_rs_tpu.models.rhf import _incore_tools, restricted_hartree_fock
 
     config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
@@ -225,12 +262,15 @@ def mp2(
     if not out.converged:
         raise RuntimeError("SCF not converged; MP2 would be meaningless")
     nocc = system.n_electrons(config.charge) // 2
+    nfz = _n_frozen(system, frozen)
+    if nfz >= nocc:
+        raise ValueError(f"frozen={nfz} leaves no correlated occupied orbitals")
     C = jnp.asarray(out.coefficients)
     eps = jnp.asarray(out.orbital_energies)
     _, engine = _incore_tools(system, config)
     e4 = engine.finish_eri(engine.build())
-    ovov = _transform_ovov(e4, C[:, :nocc], C[:, nocc:])
-    ecorr = float(_mp2_from_mo(ovov, eps[:nocc], eps[nocc:]))
+    ovov = _transform_ovov(e4, C[:, nfz:nocc], C[:, nocc:])
+    ecorr = float(_mp2_from_mo(ovov, eps[nfz:nocc], eps[nocc:]))
     return Mp2Output(
         scf_total_energy=out.total_energy(),
         correlation_energy=ecorr,

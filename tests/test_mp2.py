@@ -35,6 +35,40 @@ def test_mp2_matches_numpy_oracle():
         assert abs(res.correlation_energy - ref) < 1e-10, (mol, basis)
 
 
+def test_mp2_frozen_core():
+    """frozen="auto" (water: O 1s) equals an independent numpy transform
+    restricted to non-core occupieds, across all three entry points."""
+    from qchem_rs_tpu.models.mp2 import mp2_pair_space, ump2
+
+    system = load_reference_system("water", "6-31G")
+    cfg = HartreeFockConfig(epsilon=1e-11, max_iterations=300)
+    out = restricted_hartree_fock(system, cfg)
+    nocc = system.n_electrons(0) // 2
+
+    e4 = np.asarray(eri(system))
+    C = np.asarray(out.coefficients)
+    eps = np.asarray(out.orbital_energies)
+    Co, Cv = C[:, 1:nocc], C[:, nocc:]  # drop the O 1s core orbital
+    ovov = np.einsum("pqrs,pi,qa,rj,sb->iajb", e4, Co, Cv, Co, Cv, optimize=True)
+    eo, ev = eps[1:nocc], eps[nocc:]
+    denom = eo[:, None, None, None] + eo[None, None, :, None] \
+        - ev[None, :, None, None] - ev[None, None, None, :]
+    t = ovov / denom
+    ref = float(np.sum(t * (2.0 * ovov - ovov.transpose(0, 3, 2, 1))))
+
+    fc = mp2(system, cfg, frozen="auto", output=out)
+    assert abs(fc.correlation_energy - ref) < 1e-10
+    full = mp2(system, cfg, output=out)
+    # freezing the core drops (negative) correlation contributions
+    assert full.correlation_energy < fc.correlation_energy < 0
+
+    pair = mp2_pair_space(system, cfg, frozen="auto", output=out)
+    assert abs(pair.correlation_energy - ref) < 1e-9
+
+    u = ump2(system, cfg, frozen="auto")
+    assert abs(u.correlation_energy - ref) < 1e-8
+
+
 def test_mp2_basis_set_growth():
     """Correlation magnitude grows with the basis (more virtuals)."""
     system_small = load_reference_system("water", "STO-3G")
