@@ -76,6 +76,7 @@ from qchem_rs_tpu.models.cis import cis
 from qchem_rs_tpu.models.hessian import harmonic_frequencies
 from qchem_rs_tpu.models.optimize import optimize_geometry
 from qchem_rs_tpu.models.properties import dipole_moment, mulliken_charges
+from qchem_rs_tpu.models.response import static_polarizability
 
 __all__ = [
     "BasisSet",
@@ -96,6 +97,7 @@ __all__ = [
     "harmonic_frequencies",
     "dipole_moment",
     "mulliken_charges",
+    "static_polarizability",
 ]
 
 __version__ = "0.1.0"

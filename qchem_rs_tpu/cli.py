@@ -105,6 +105,15 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
         help="print Mulliken atomic partial charges",
     )
     p.add_argument(
+        "--field",
+        type=float,
+        nargs=3,
+        default=None,
+        metavar=("FX", "FY", "FZ"),
+        help="uniform external electric field in atomic units "
+        "(finite-field properties)",
+    )
+    p.add_argument(
         "--resume",
         default=None,
         help="warm-start from an .npz checkpoint written by --checkpoint",
@@ -140,6 +149,7 @@ def _build(args):
         screening_threshold=getattr(args, "screening_threshold", 1e-12),
         fock_mode=getattr(args, "fock_mode", "incore"),
         level_shift=getattr(args, "level_shift", 0.0),
+        electric_field=tuple(getattr(args, "field", None) or (0.0, 0.0, 0.0)),
     )
     return system, cfg
 
@@ -196,6 +206,16 @@ def cmd_rhf(args) -> int:
         print("nuclear gradient (Hartree/Bohr):")
         for atom, row in zip(system.atoms, g):
             print(f"  {atom.ordinal:3d}  {row[0]: .8f} {row[1]: .8f} {row[2]: .8f}")
+    if getattr(args, "polarizability", False):
+        import numpy as np
+
+        from qchem_rs_tpu.models.response import static_polarizability
+
+        alpha = static_polarizability(system, cfg, output=out)
+        iso = float(np.trace(alpha) / 3.0)
+        print(f"static polarizability (a.u.), isotropic {iso:.6f}:")
+        for row in alpha:
+            print(f"  {row[0]: .6f} {row[1]: .6f} {row[2]: .6f}")
     _print_properties(args, system, out.density)
     return 0
 
@@ -429,6 +449,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="also print analytic nuclear gradients (jax.grad through the "
         "differentiable integrals — beyond the reference's capabilities)",
+    )
+    p_rhf.add_argument(
+        "--polarizability",
+        action="store_true",
+        help="also print the CPHF static dipole polarizability tensor "
+        "(one (A+B) linear solve; FD-validated against --field runs)",
     )
     _common_flags(p_rhf, uhf=False)
     p_rhf.set_defaults(fn=cmd_rhf)

@@ -59,6 +59,12 @@ class HartreeFockConfig:
     #: orthogonal-basis Fock matrix; 0 disables. Stabilizes oscillatory SCF
     #: cases the reference simply fails on (rhf.rs:107 returns None).
     level_shift: float = 0.0
+    #: uniform external electric field (a.u.), adding F.r to the core
+    #: Hamiltonian (electron charge -1) and -sum_A Z_A F.R_A to the nuclear
+    #: energy. Enables finite-field properties; the field is a RUNTIME
+    #: operand of the compiled programs (an FD polarizability sweep does not
+    #: recompile). Beyond the reference's capabilities.
+    electric_field: tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     def diis_window(self, default_min: int, default_max: int) -> tuple[int, int]:
         return (

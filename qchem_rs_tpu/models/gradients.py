@@ -113,6 +113,14 @@ def rhf_gradient(
     from qchem_rs_tpu.models.rhf import restricted_hartree_fock
 
     config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    if any(config.electric_field):
+        # the gradient functional does not carry the field's position-
+        # dependent dipole-integral terms; silently wrong forces are worse
+        # than an error
+        raise NotImplementedError(
+            "analytic gradients under an external electric field are not "
+            "implemented; run with electric_field=(0,0,0)"
+        )
     if config.fock_mode == "pair":
         # honor the no-n^4 memory envelope end to end: the pair-space
         # gradient never materializes the (n^2, n^2) operator this trace does
@@ -183,6 +191,11 @@ def uhf_gradient(
     from qchem_rs_tpu.parallel.sweep import nuclear_repulsion_jnp
 
     config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=300)
+    if any(config.electric_field):
+        raise NotImplementedError(
+            "analytic gradients under an external electric field are not "
+            "implemented; run with electric_field=(0,0,0)"
+        )
     out = output or unrestricted_hartree_fock(system, config)
     if not out.converged:
         raise RuntimeError("SCF not converged; gradient would be meaningless")

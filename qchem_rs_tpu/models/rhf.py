@@ -296,6 +296,22 @@ def precompile_rhf(
     engine._compiled_scf = scf_cache
 
 
+def _field_terms(system, positions, field):
+    """Core-Hamiltonian and nuclear contributions of a uniform external
+    electric field (config.electric_field). The electron carries charge -1,
+    so its energy in field F is +F.r -> H += sum_d F_d <i|r_d|j>; nuclei
+    contribute -sum_A Z_A F.R_A to the classical energy. The field enters
+    as data (H is an operand of every SCF program), so finite-field sweeps
+    reuse one executable. Returns (dH, dE_nuclear)."""
+    from qchem_rs_tpu.ops import one_electron
+
+    F = jnp.asarray(field, dtype=jnp.float64)
+    r = one_electron.dipole_integrals(system, positions)
+    dH = jnp.einsum("d,dij->ij", F, r)
+    de = -float(np.dot(system.charges, np.asarray(positions) @ np.asarray(field)))
+    return dH, de
+
+
 def _rhf_scf_direct(
     H: jax.Array,
     X: jax.Array,
@@ -489,6 +505,7 @@ def restricted_hartree_fock(
     timings: dict = {}
     warm = density_guess is not None
     positions = jnp.asarray(system.positions)
+    e_field_nuc = 0.0
     t0 = time.perf_counter()
     if config.fock_mode in ("direct", "pair"):
         from qchem_rs_tpu.ops import one_electron
@@ -497,6 +514,9 @@ def restricted_hartree_fock(
         H = one_electron.kinetic(system, positions) + one_electron.nuclear(
             system, positions
         )
+        if any(config.electric_field):
+            dH, e_field_nuc = _field_terms(system, positions, config.electric_field)
+            H = H + dH
         X = scf.lowdin_x(S)
         guess = jnp.asarray(density_guess) if warm else None
         if config.fock_mode == "pair":
@@ -551,6 +571,9 @@ def restricted_hartree_fock(
         T_ = cones["T"](positions)
         V_ = cones["V"](positions)
         H, X = cones["prep"](S, T_, V_)
+        if any(config.electric_field):
+            dH, e_field_nuc = _field_terms(system, positions, config.electric_field)
+            H = H + dH
         S.block_until_ready()
         timings["one_electron_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
@@ -582,7 +605,7 @@ def restricted_hartree_fock(
     return RestrictedHartreeFockOutput(
         orbital_energies=np.asarray(st.orbital_energies),
         electronic_energy=float(st.energy),
-        nuclear_repulsion=system.nuclear_repulsion(),
+        nuclear_repulsion=system.nuclear_repulsion() + e_field_nuc,
         iterations=int(st.iteration) - 1,  # reference reports the 0-based pass index
         converged=bool(st.converged),
         density=np.asarray(st.density),

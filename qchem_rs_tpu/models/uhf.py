@@ -436,6 +436,7 @@ def unrestricted_hartree_fock(
     warm = density_guess is not None
     positions = jnp.asarray(system.positions)
     guess = jnp.asarray(density_guess) if warm else None
+    e_field_nuc = 0.0
     t0 = time.perf_counter()
     if config.fock_mode in ("direct", "pair"):
         from qchem_rs_tpu.models import rhf as rhf_mod
@@ -444,6 +445,11 @@ def unrestricted_hartree_fock(
         H = one_electron.kinetic(system, positions) + one_electron.nuclear(
             system, positions
         )
+        if any(config.electric_field):
+            dH, e_field_nuc = rhf_mod._field_terms(
+                system, positions, config.electric_field
+            )
+            H = H + dH
         X = scf.lowdin_x(S)
         if config.fock_mode == "pair":
             # pair-space matrices built once; jit ARGUMENTS so the GB-scale
@@ -498,6 +504,13 @@ def unrestricted_hartree_fock(
         T_ = cones["T"](positions)
         V_ = cones["V"](positions)
         H, X = cones["prep"](S, T_, V_)
+        if any(config.electric_field):
+            from qchem_rs_tpu.models import rhf as rhf_mod
+
+            dH, e_field_nuc = rhf_mod._field_terms(
+                system, positions, config.electric_field
+            )
+            H = H + dH
         S.block_until_ready()
         timings["one_electron_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
@@ -528,7 +541,7 @@ def unrestricted_hartree_fock(
         orbital_energies_alpha=np.asarray(st.orbital_energies[0]),
         orbital_energies_beta=np.asarray(st.orbital_energies[1]),
         electronic_energy=float(st.energy),
-        nuclear_repulsion=system.nuclear_repulsion(),
+        nuclear_repulsion=system.nuclear_repulsion() + e_field_nuc,
         iterations=int(st.iteration) - 1,
         converged=bool(st.converged),
         density=np.asarray(st.density),
