@@ -267,7 +267,7 @@ def cmd_uhf(args) -> int:
 
 
 def cmd_mp2(args) -> int:
-    from qchem_rs_tpu.models.mp2 import mp2, mp2_pair_space, ump2
+    from qchem_rs_tpu.models.mp2 import mp2, mp2_pair_space, ump2, ump2_pair_space
 
     system, cfg = _build(args)
     open_shell = cfg.spin_multiplicity not in (0, 1) or (
@@ -276,9 +276,7 @@ def cmd_mp2(args) -> int:
     if cfg.spin_multiplicity == 0 and not open_shell:
         cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
     if open_shell:
-        # UMP2 is in-core only: it needs all three spin-block (ia|jb)
-        # tensors, which the dense quarter-transform provides directly.
-        fn = ump2
+        fn = ump2_pair_space if cfg.fock_mode == "pair" else ump2
     elif cfg.fock_mode == "pair":
         # honor --fock-mode pair end to end: the no-n^4 transform
         # (ia|jb) = U^T V2f U shares the SCF's pair-space memory envelope

@@ -185,6 +185,76 @@ def _ump2_pair(ovov_ss_a, ovov_ss_b, ovov_os, eo_a, ev_a, eo_b, ev_b):
     return same_spin(ovov_ss_a, eo_a, ev_a) + same_spin(ovov_ss_b, eo_b, ev_b) + e_os
 
 
+def ump2_pair_space(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    frozen: int | str = 0,
+    output=None,
+) -> Mp2Output:
+    """UMP2 through the pair-space ERI matrix — NO n^4 tensor anywhere.
+
+    The three spin-block (ia|jb) tensors are each two MXU matmuls against
+    the resident V2f: same-spin via U_s^T V2f U_s, opposite-spin via
+    U_a^T V2f U_b — extending the fock_mode="pair" memory envelope (which
+    runs naphthalene/cc-pVDZ on one chip, docs/PROFILE_r03.md) from
+    closed-shell MP2 to open shells."""
+    from qchem_rs_tpu.models import scf as scf_mod
+    from qchem_rs_tpu.models.rhf import _direct_tools
+    from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock
+
+    config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=300)
+    out = output or unrestricted_hartree_fock(system, config)
+    if not out.converged:
+        raise RuntimeError("SCF not converged; MP2 would be meaningless")
+    nocc = scf_mod.electron_counts(
+        system.n_electrons(config.charge), config.spin_multiplicity
+    )
+    nfz = _n_frozen(system, frozen)
+    if nfz >= min(nocc):
+        raise ValueError(f"frozen={nfz} leaves no correlated occupied orbitals")
+    C = jnp.asarray(out.coefficients)  # (2, n, n)
+    if system.spherical:
+        C = jnp.einsum("pq,sqm->spm", jnp.asarray(system.sph_T), C)
+    eps = jnp.stack(
+        [jnp.asarray(out.orbital_energies_alpha), jnp.asarray(out.orbital_energies_beta)]
+    )
+    builder = _direct_tools(system, config, "pair")
+    if builder._prepared is not None:
+        V2f = builder._prepared[0]
+    else:
+        from qchem_rs_tpu.ops.fock_pair import _mirror
+
+        V2f = jax.jit(_mirror, donate_argnums=(0,))(builder.engine.build())
+    U = [
+        _pair_transform_matrix(
+            builder, C[s][:, nfz : nocc[s]], C[s][:, nocc[s] :]
+        )
+        for s in range(2)
+    ]
+
+    @jax.jit
+    def contract(V2f, L, R):
+        return L.T @ (V2f @ R)
+
+    shapes = [(nocc[s] - nfz, C.shape[2] - nocc[s]) for s in range(2)]
+    ss_a = contract(V2f, U[0], U[0]).reshape(*shapes[0], *shapes[0])
+    ss_b = contract(V2f, U[1], U[1]).reshape(*shapes[1], *shapes[1])
+    os_ab = contract(V2f, U[0], U[1]).reshape(*shapes[0], *shapes[1])
+    ecorr = float(
+        _ump2_pair(
+            ss_a, ss_b, os_ab,
+            eps[0][nfz : nocc[0]], eps[0][nocc[0] :],
+            eps[1][nfz : nocc[1]], eps[1][nocc[1] :],
+        )
+    )
+    return Mp2Output(
+        scf_total_energy=out.total_energy(),
+        correlation_energy=ecorr,
+        iterations=out.iterations,
+    )
+
+
 def ump2(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,

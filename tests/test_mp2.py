@@ -105,6 +105,29 @@ def test_ump2_triplet_oxygen():
     assert u.total_energy() < u.scf_total_energy
 
 
+def test_ump2_pair_space_matches_incore():
+    """The no-n^4 pair-space UMP2 == the dense-transform UMP2 (open shell,
+    cart + spherical), including frozen-core."""
+    from qchem_rs_tpu.models.mp2 import ump2, ump2_pair_space
+    from qchem_rs_tpu.utils.basis import BasisSet
+    from qchem_rs_tpu.utils.system import MolecularSystem
+    import os
+
+    data = os.path.join(os.path.dirname(__file__), "..", "data")
+    cfg = HartreeFockConfig(
+        epsilon=1e-11, max_iterations=400, spin_multiplicity=2
+    )
+    for spherical in (False, True):
+        b = BasisSet.load(os.path.join(data, "basis", "6-31G.json"))
+        s = MolecularSystem.load(
+            os.path.join(data, "mol", "hydroxyl.json"), b, spherical=spherical
+        )
+        dense = ump2(s, cfg, frozen="auto")
+        pair = ump2_pair_space(s, cfg, frozen="auto")
+        assert abs(pair.correlation_energy - dense.correlation_energy) < 1e-9, spherical
+        assert abs(pair.scf_total_energy - dense.scf_total_energy) < 1e-8, spherical
+
+
 def test_mp2_pair_space_matches_incore():
     """The no-n^4 pair-space MP2 == the dense-transform MP2 (cart + sph)."""
     from qchem_rs_tpu.models.mp2 import mp2_pair_space
