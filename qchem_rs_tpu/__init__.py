@@ -72,7 +72,7 @@ from qchem_rs_tpu.models.rhf import restricted_hartree_fock, RestrictedHartreeFo
 from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock, UnrestrictedHartreeFockOutput
 from qchem_rs_tpu.models.gradients import rhf_gradient, uhf_gradient
 from qchem_rs_tpu.models.mp2 import mp2, mp2_pair_space, ump2, ump2_pair_space
-from qchem_rs_tpu.models.cis import cis
+from qchem_rs_tpu.models.cis import cis, ucis
 from qchem_rs_tpu.models.hessian import harmonic_frequencies
 from qchem_rs_tpu.models.optimize import optimize_geometry
 from qchem_rs_tpu.models.properties import dipole_moment, mulliken_charges
@@ -94,6 +94,7 @@ __all__ = [
     "ump2",
     "ump2_pair_space",
     "cis",
+    "ucis",
     "optimize_geometry",
     "harmonic_frequencies",
     "dipole_moment",

@@ -301,25 +301,43 @@ def cmd_mp2(args) -> int:
 
 
 def cmd_cis(args) -> int:
-    from qchem_rs_tpu.models.cis import HARTREE_TO_EV, cis
+    from qchem_rs_tpu.models.cis import HARTREE_TO_EV, cis, ucis
 
     system, cfg = _build(args)
+    open_shell = cfg.spin_multiplicity not in (0, 1) or (
+        system.n_electrons(cfg.charge) % 2 == 1
+    )
     start = time.perf_counter()
     try:
-        res = cis(
-            system, cfg,
-            nstates=args.nstates,
-            triplet=args.triplet,
-            tdhf=args.tdhf,
-        )
+        if open_shell:
+            if args.triplet or args.tdhf:
+                print(
+                    "--triplet/--tdhf apply to closed-shell references only "
+                    "(open shells run spin-orbital UCIS)",
+                    file=sys.stderr,
+                )
+                return 2
+            res = ucis(system, cfg, nstates=args.nstates)
+        else:
+            if cfg.spin_multiplicity == 0:
+                cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
+            res = cis(
+                system, cfg,
+                nstates=args.nstates,
+                triplet=args.triplet,
+                tdhf=args.tdhf,
+            )
     except RuntimeError as e:
         print(str(e), file=sys.stderr)
         return 1
     elapsed = time.perf_counter() - start
     kind = res.method
-    spin = "triplet" if res.triplet else "singlet"
+    if kind == "ucis":
+        label = "ucis (spin-orbital)"
+    else:
+        label = f"{kind} ({'triplet' if res.triplet else 'singlet'})"
     print(
-        f"{kind} ({spin}) finished after {res.iterations} SCF iterations "
+        f"{label} finished after {res.iterations} SCF iterations "
         f"and {elapsed:0.2f}s"
     )
     print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
@@ -478,10 +496,11 @@ def main(argv=None) -> int:
 
     p_cis = sub.add_parser(
         "cis",
-        help="CIS / TDHF excitation energies on a converged RHF "
-        "(closed-shell; --fock-mode pair avoids the n^4 AO tensor)",
+        help="CIS / TDHF excitation energies (closed shells; open shells "
+        "run spin-orbital UCIS on the UHF reference; --fock-mode pair "
+        "avoids the n^4 AO tensor)",
     )
-    _common_flags(p_cis, uhf=False)
+    _common_flags(p_cis, uhf=True)
     p_cis.add_argument(
         "--nstates", type=int, default=5, help="number of excited states"
     )

@@ -138,6 +138,138 @@ def _mo_transition_dipoles(system, C, nocc):
     return jnp.einsum("pi,dpq,qa->dia", Co, d_ao, Cv)
 
 
+def _ucis_blocks(system, config, C, nocc):
+    """Spin-resolved MO integral blocks for UCIS: per-spin (ia|jb) and
+    (ij|ab), plus the opposite-spin Coulomb coupling (i_a a_a | j_b b_b).
+    Pair mode contracts against the resident V2f; otherwise dense."""
+    from qchem_rs_tpu.models.rhf import _direct_tools, _incore_tools
+
+    Co = [C[s][:, : nocc[s]] for s in range(2)]
+    Cv = [C[s][:, nocc[s] :] for s in range(2)]
+    if config.fock_mode == "pair":
+        from qchem_rs_tpu.models.mp2 import _pair_transform_matrix
+
+        builder = _direct_tools(system, config, "pair")
+        if builder._prepared is not None:
+            V2f = builder._prepared[0]
+        else:
+            from qchem_rs_tpu.ops.fock_pair import _mirror
+
+            V2f = jax.jit(_mirror, donate_argnums=(0,))(builder.engine.build())
+
+        @jax.jit
+        def contract(V2f, L, R):
+            return L.T @ (V2f @ R)
+
+        U_ov = [_pair_transform_matrix(builder, Co[s], Cv[s]) for s in range(2)]
+        U_oo = [_pair_transform_matrix(builder, Co[s], Co[s]) for s in range(2)]
+        U_vv = [_pair_transform_matrix(builder, Cv[s], Cv[s]) for s in range(2)]
+        sh = [(Co[s].shape[1], Cv[s].shape[1]) for s in range(2)]
+        ovov = [
+            contract(V2f, U_ov[s], U_ov[s]).reshape(*sh[s], *sh[s])
+            for s in range(2)
+        ]
+        oovv = [
+            contract(V2f, U_oo[s], U_vv[s]).reshape(
+                sh[s][0], sh[s][0], sh[s][1], sh[s][1]
+            )
+            for s in range(2)
+        ]
+        ovov_ab = contract(V2f, U_ov[0], U_ov[1]).reshape(*sh[0], *sh[1])
+        return ovov, oovv, ovov_ab
+
+    from qchem_rs_tpu.models.mp2 import _transform_ovov
+
+    _, engine = _incore_tools(system, config)
+    e4 = engine.finish_eri(engine.build())
+    ovov = [_transform_ovov(e4, Co[s], Cv[s]) for s in range(2)]
+    oovv = [_transform_oovv(e4, Co[s], Cv[s]) for s in range(2)]
+    x = jnp.einsum("pqrs,pi->iqrs", e4, Co[0])
+    x = jnp.einsum("iqrs,qa->iars", x, Cv[0])
+    x = jnp.einsum("iars,rj->iajs", x, Co[1])
+    ovov_ab = jnp.einsum("iajs,sb->iajb", x, Cv[1])
+    return ovov, oovv, ovov_ab
+
+
+def ucis(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    nstates: int = 5,
+    output=None,
+) -> CisOutput:
+    """Spin-orbital CIS on a UHF reference (open shells; Ms-conserving
+    alpha->alpha / beta->beta excitations).
+
+        A[ia,jb]^{ss}  = d d (e_a - e_i) + (ia|jb) - (ij|ab)
+        A[ia,jb]^{ab}  =                   (ia|jb)            (Coulomb only)
+
+    On a closed-shell reference the spectrum is exactly the union of the
+    singlet and triplet restricted CIS spectra (the Ms=0 triplet component)
+    — pinned as the oracle in tests/test_cis.py."""
+    from qchem_rs_tpu.models import scf as scf_mod
+    from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock
+
+    config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=300)
+    out = output or unrestricted_hartree_fock(system, config)
+    if not out.converged:
+        raise RuntimeError("SCF not converged; CIS needs a converged reference")
+    nocc = scf_mod.electron_counts(
+        system.n_electrons(config.charge), config.spin_multiplicity
+    )
+    C = jnp.asarray(out.coefficients)
+    Cw = C  # SCF working basis (for transition dipoles)
+    if system.spherical and config.fock_mode == "pair":
+        C = jnp.einsum("pq,sqm->spm", jnp.asarray(system.sph_T), C)
+    eps = [
+        jnp.asarray(out.orbital_energies_alpha),
+        jnp.asarray(out.orbital_energies_beta),
+    ]
+    n = C.shape[2]
+    dims = [(nocc[s], n - nocc[s]) for s in range(2)]
+    if any(no == 0 or nv == 0 for no, nv in dims):
+        raise ValueError("UCIS needs occupied and virtual orbitals in both spins")
+
+    ovov, oovv, ovov_ab = _ucis_blocks(system, config, C, nocc)
+    blocks = []
+    for s in range(2):
+        no, nv = dims[s]
+        diag = (eps[s][nocc[s] :][None, :] - eps[s][: nocc[s]][:, None]).reshape(-1)
+        Ass = (ovov[s] - oovv[s].transpose(0, 2, 1, 3)).reshape(
+            no * nv, no * nv
+        ) + jnp.diag(diag)
+        blocks.append(Ass)
+    Aab = ovov_ab.reshape(dims[0][0] * dims[0][1], dims[1][0] * dims[1][1])
+    A = jnp.block([[blocks[0], Aab], [Aab.T, blocks[1]]])
+    omega_arr, X = _cis_solve(A)
+    omega = np.asarray(omega_arr)
+
+    from qchem_rs_tpu.ops import one_electron
+
+    d_ao = one_electron.dipole_integrals(system)
+    d_ov = jnp.concatenate(
+        [
+            jnp.einsum(
+                "pi,dpq,qa->dia",
+                Cw[s][:, : nocc[s]], d_ao, Cw[s][:, nocc[s] :],
+            ).reshape(3, -1)
+            for s in range(2)
+        ],
+        axis=1,
+    )
+    k = min(nstates, omega.shape[0])
+    t = np.asarray(d_ov @ X)  # spin orbitals: no sqrt(2)
+    f = (2.0 / 3.0) * omega * (t**2).sum(axis=0)
+    return CisOutput(
+        scf_total_energy=out.total_energy(),
+        excitation_energies=omega[:k],
+        oscillator_strengths=f[:k],
+        iterations=out.iterations,
+        method="ucis",
+        triplet=False,
+    )
+
+
 def cis(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,

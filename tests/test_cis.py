@@ -94,6 +94,58 @@ def test_invariants_water():
     assert (np.diff(s.excitation_energies) >= -1e-12).all()
 
 
+def test_ucis_closed_shell_is_singlet_triplet_union():
+    """Spin-orbital CIS on a closed-shell UHF reference == the sorted union
+    of the restricted singlet and triplet CIS spectra (Ms=0 components) —
+    a parameter-free oracle for every UCIS block."""
+    system = _load("water", "STO-3G")
+    cfg = HartreeFockConfig(
+        epsilon=1e-11, max_iterations=300, spin_multiplicity=1
+    )
+    from qchem_rs_tpu.models.cis import ucis
+
+    nall = 2 * 5 * 2  # no*nv per spin, both spins (water/STO-3G: 5 occ, 2 virt)
+    u = ucis(system, cfg, nstates=nall)
+    s = cis(system, cfg, nstates=10)
+    t = cis(system, cfg, nstates=10, triplet=True)
+    union = np.sort(np.concatenate([s.excitation_energies, t.excitation_energies]))
+    np.testing.assert_allclose(u.excitation_energies, union, atol=1e-7)
+    # triplet components carry zero oscillator strength in the union too
+    trip = np.isin(
+        np.round(u.excitation_energies, 9), np.round(t.excitation_energies, 9)
+    )
+    assert np.abs(u.oscillator_strengths[trip]).max() < 1e-8
+
+
+def test_ucis_open_shell_pair_matches_dense():
+    """OH radical UCIS: dense and pair-space blocks agree; spectrum sane."""
+    import dataclasses as dc
+
+    from qchem_rs_tpu.models.cis import ucis
+
+    from qchem_rs_tpu import unrestricted_hartree_fock
+
+    system = _load("hydroxyl", "STO-3G")
+    cfg = HartreeFockConfig(
+        epsilon=1e-11, max_iterations=400, spin_multiplicity=2
+    )
+    # one shared UHF reference: separate SCF runs differ at ~3e-4 in the
+    # orbitals (OH's degenerate-pi hole converges slowly under diag_rms),
+    # which would swamp the pair-vs-dense block numerics under test
+    out = unrestricted_hartree_fock(system, cfg)
+    d = ucis(system, cfg, nstates=6, output=out)
+    p = ucis(system, dc.replace(cfg, fock_mode="pair"), nstates=6, output=out)
+    # lowest excitation ~0 is PHYSICAL here: the alpha hole rotates freely
+    # within OH's degenerate pi set
+    assert (d.excitation_energies > -1e-10).all()
+    np.testing.assert_allclose(
+        p.excitation_energies, d.excitation_energies, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        p.oscillator_strengths, d.oscillator_strengths, atol=1e-7
+    )
+
+
 def test_unconverged_reference_raises(h2):
     cfg = HartreeFockConfig(epsilon=1e-14, max_iterations=1)
     with pytest.raises(RuntimeError, match="converged"):
