@@ -37,19 +37,21 @@ def _alpha_from_blocks(ApB: jax.Array, d_ov: jax.Array):
     return 4.0 * (d_ov @ U)
 
 
-def static_polarizability(
-    system: MolecularSystem,
-    config: Optional[HartreeFockConfig] = None,
-    *,
-    output=None,
-) -> np.ndarray:
-    """Static dipole polarizability tensor (3, 3) in atomic units.
+@jax.jit
+def _alpha_dynamic_from_blocks(A, B, d_ov, omega):
+    """alpha(omega) = 4 (S d)^T (S(A+B)S - omega^2 I)^{-1} (S d) with
+    S = (A-B)^{1/2} — the Casida form of the frequency-dependent TDHF
+    response; reduces to the static solve at omega = 0."""
+    wm, Um = jnp.linalg.eigh(A - B)
+    S = (Um * jnp.sqrt(jnp.maximum(wm, 0.0))) @ Um.T
+    M = S @ (A + B) @ S - (omega**2) * jnp.eye(A.shape[0])
+    Sd = S @ d_ov.T  # (n, 3)
+    return 4.0 * (Sd.T @ jnp.linalg.solve(M, Sd)), jnp.min(wm)
 
-    Reuses the CIS machinery for the singlet (A, B) blocks; `config.fock_mode
-    == "pair"` routes the MO-integral blocks through the pair-space V2f
-    (no n^4 AO tensor). Raises on an unstable RHF reference (A+B would not
-    be positive definite there and the static response diverges).
-    """
+
+def _response_blocks(system, config, output):
+    """Singlet (A, B) orbital-Hessian blocks + MO dipole rows for a
+    converged RHF reference (pair mode: no n^4 AO tensor)."""
     from qchem_rs_tpu.models.cis import (
         _assemble_AB,
         _cis_blocks_dense,
@@ -62,7 +64,6 @@ def static_polarizability(
         restricted_hartree_fock,
     )
 
-    config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
     out = output or restricted_hartree_fock(system, config)
     if not out.converged:
         raise RuntimeError("SCF not converged; response needs a converged reference")
@@ -82,6 +83,24 @@ def static_polarizability(
 
     A, B = _assemble_AB(ovov, oovv, eps[:nocc], eps[nocc:], True)
     d_ov = _mo_transition_dipoles(system, C, nocc).reshape(3, -1)
+    return A, B, d_ov
+
+
+def static_polarizability(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    output=None,
+) -> np.ndarray:
+    """Static dipole polarizability tensor (3, 3) in atomic units.
+
+    Reuses the CIS machinery for the singlet (A, B) blocks; `config.fock_mode
+    == "pair"` routes the MO-integral blocks through the pair-space V2f
+    (no n^4 AO tensor). Raises on an unstable RHF reference (A+B would not
+    be positive definite there and the static response diverges).
+    """
+    config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    A, B, d_ov = _response_blocks(system, config, output)
     alpha = np.asarray(_alpha_from_blocks(A + B, d_ov))
     if not np.all(np.linalg.eigvalsh(alpha) > 0):
         raise RuntimeError(
@@ -89,3 +108,27 @@ def static_polarizability(
             "unstable; the static response is undefined"
         )
     return alpha
+
+
+def dynamic_polarizability(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    omega: float = 0.0,
+    output=None,
+) -> np.ndarray:
+    """Frequency-dependent dipole polarizability alpha(omega), (3, 3) a.u.
+
+    The TDHF linear response at real frequency omega (Hartree) via the
+    Casida form; omega = 0 reproduces static_polarizability. Valid between
+    poles (the TDHF excitation energies); raises on an unstable reference.
+    """
+    config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    A, B, d_ov = _response_blocks(system, config, output)
+    alpha, wm_min = _alpha_dynamic_from_blocks(A, B, d_ov, float(omega))
+    if float(wm_min) <= 0.0:
+        raise RuntimeError(
+            "A - B is not positive definite: the RHF reference is unstable; "
+            "the TDHF response is undefined"
+        )
+    return np.asarray(alpha)

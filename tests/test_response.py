@@ -64,6 +64,30 @@ def test_cphf_polarizability_matches_finite_field():
     assert np.all(np.linalg.eigvalsh(alpha) > 0)
 
 
+def test_dynamic_polarizability():
+    """alpha(0) == static; alpha(omega) grows toward the first pole and
+    diverges consistently with the lowest TDHF excitation energy."""
+    from qchem_rs_tpu.models.cis import cis
+    from qchem_rs_tpu.models.response import dynamic_polarizability
+
+    system = load_reference_system("water", "STO-3G")
+    from qchem_rs_tpu import restricted_hartree_fock
+
+    out = restricted_hartree_fock(system, CFG)
+    a0 = static_polarizability(system, CFG, output=out)
+    d0 = dynamic_polarizability(system, CFG, omega=0.0, output=out)
+    np.testing.assert_allclose(d0, a0, atol=1e-9)
+
+    w1 = cis(system, CFG, nstates=1, tdhf=True, output=out).excitation_energies[0]
+    below = dynamic_polarizability(system, CFG, omega=0.9 * w1, output=out)
+    # dispersion: every diagonal element grows as omega approaches the pole
+    assert (np.diag(below) > np.diag(a0) - 1e-12).all()
+    near = dynamic_polarizability(system, CFG, omega=0.999 * w1, output=out)
+    # the component coupled to the first pole diverges (water: the
+    # in-plane-perpendicular axis); compare per element, not across axes
+    assert (np.diag(near) / np.diag(a0)).max() > 10
+
+
 def test_field_runs_in_pair_mode():
     """The field term applies identically on the pair-space path."""
     system = load_reference_system("water", "STO-3G")
