@@ -300,6 +300,79 @@ def cmd_mp2(args) -> int:
     return 0
 
 
+def cmd_ccsd(args) -> int:
+    from qchem_rs_tpu.models.cc import ccsd
+
+    system, cfg = _build(args)
+    open_shell = cfg.spin_multiplicity not in (0, 1) or (
+        system.n_electrons(cfg.charge) % 2 == 1
+    )
+    if cfg.spin_multiplicity == 0 and not open_shell:
+        cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
+    frozen = getattr(args, "frozen_core", "0")
+    frozen = frozen if frozen == "auto" else int(frozen)
+    start = time.perf_counter()
+    try:
+        res = ccsd(
+            system,
+            cfg,
+            frozen=frozen,
+            triples=args.triples,
+            cc_epsilon=args.cc_epsilon,
+        )
+    except (RuntimeError, ValueError) as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    elapsed = time.perf_counter() - start
+    if not res.converged:
+        print("ccsd amplitudes did not converge", file=sys.stderr)
+        return 1
+    kind = "uccsd" if open_shell else "ccsd"
+    print(
+        f"{kind} converged after {res.iterations} CC iterations "
+        f"({res.scf_iterations} SCF) and {elapsed:0.2f}s"
+    )
+    print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
+    print(f"mp2 correlation energy: {res.mp2_correlation_energy:3.6f}")
+    print(f"ccsd correlation energy: {res.correlation_energy:3.6f}")
+    if res.triples_correction is not None:
+        print(f"(t) correction: {res.triples_correction:3.6f}")
+    print(f"{kind} total energy: {res.total_energy():3.6f}")
+    return 0
+
+
+def cmd_fci(args) -> int:
+    from qchem_rs_tpu.models.fci import fci
+
+    system, cfg = _build(args)
+    if cfg.spin_multiplicity == 0:
+        mult = 2 if system.n_electrons(cfg.charge) % 2 else 1
+        cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": mult})
+    start = time.perf_counter()
+    try:
+        res = fci(
+            system,
+            cfg,
+            nroots=args.nroots,
+            max_dim=args.max_dim,
+            orbitals=args.orbitals,
+        )
+    except (RuntimeError, ValueError) as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    elapsed = time.perf_counter() - start
+    print(
+        f"fci solved: {res.dimension} determinants "
+        f"({res.n_alpha}a, {res.n_beta}b) in {elapsed:0.2f}s"
+    )
+    if res.scf_total_energy is not None:
+        print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
+        print(f"fci correlation energy: {res.correlation_energy():3.6f}")
+    for k, e in enumerate(res.total_energies):
+        print(f"fci root {k} total energy: {e:3.6f}")
+    return 0
+
+
 def cmd_cis(args) -> int:
     from qchem_rs_tpu.models.cis import HARTREE_TO_EV, cis, ucis
 
@@ -493,6 +566,54 @@ def main(argv=None) -> int:
         "or 'auto' (1s for Li-Ne, 1s2s2p for Na-Ar)",
     )
     p_mp2.set_defaults(fn=cmd_mp2)
+
+    p_cc = sub.add_parser(
+        "ccsd",
+        help="CCSD / CCSD(T) correlation energy (spinorbital formulation; "
+        "closed shells on RHF, open shells on UHF references)",
+    )
+    _common_flags(p_cc, uhf=True)
+    p_cc.add_argument(
+        "--frozen-core",
+        default="0",
+        metavar="N|auto",
+        help="core spatial orbitals excluded from correlation: an integer "
+        "or 'auto' (1s for Li-Ne, 1s2s2p for Na-Ar)",
+    )
+    p_cc.add_argument(
+        "--triples", action="store_true", help="add the perturbative (T) correction"
+    )
+    p_cc.add_argument(
+        "--cc-epsilon",
+        type=float,
+        default=1e-8,
+        help="amplitude RMS / |dE| convergence threshold",
+    )
+    p_cc.set_defaults(fn=cmd_ccsd)
+
+    p_fci = sub.add_parser(
+        "fci",
+        help="determinant full CI for small systems (exact within the "
+        "basis; the correlation-tier anchor)",
+    )
+    _common_flags(p_fci, uhf=True)
+    p_fci.add_argument(
+        "--nroots", type=int, default=1, help="number of FCI roots to report"
+    )
+    p_fci.add_argument(
+        "--max-dim",
+        type=int,
+        default=4000,
+        help="determinant-space cap for the dense eigensolve tier",
+    )
+    p_fci.add_argument(
+        "--orbitals",
+        choices=("auto", "rhf", "lowdin"),
+        default="auto",
+        help="orbital basis: converged RHF or Loewdin-orthogonalized AOs "
+        "(FCI is invariant; lowdin needs no SCF and works for open shells)",
+    )
+    p_fci.set_defaults(fn=cmd_fci)
 
     p_cis = sub.add_parser(
         "cis",

@@ -145,3 +145,38 @@ def test_property_flags(capsys):
     assert rc == 0
     assert "dipole moment (a.u.):" in out
     assert "mulliken charges:" in out
+
+
+def test_ccsd_subcommand(capsys):
+    rc = cli.main(
+        [
+            "ccsd",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--triples",
+            "--epsilon", "1e-9",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ccsd converged after" in out
+    assert "ccsd correlation energy:" in out
+    assert "(t) correction: 0.000000" in out  # exactly zero for 2 electrons
+    assert "ccsd total energy:" in out
+
+
+def test_fci_subcommand(capsys):
+    rc = cli.main(
+        [
+            "fci",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--nroots", "2",
+            "--epsilon", "1e-9",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "fci solved: 4 determinants" in out
+    assert "fci correlation energy:" in out
+    assert "fci root 1 total energy:" in out
