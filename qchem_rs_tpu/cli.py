@@ -399,8 +399,9 @@ def cmd_cis(args) -> int:
                 nstates=args.nstates,
                 triplet=args.triplet,
                 tdhf=args.tdhf,
+                solver=args.solver,
             )
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
         print(str(e), file=sys.stderr)
         return 1
     elapsed = time.perf_counter() - start
@@ -631,6 +632,13 @@ def main(argv=None) -> int:
     p_cis.add_argument(
         "--tdhf", action="store_true",
         help="full TDHF/RPA instead of the CIS (Tamm-Dancoff) problem",
+    )
+    p_cis.add_argument(
+        "--solver",
+        choices=("auto", "dense", "davidson"),
+        default="auto",
+        help="CIS eigensolver: dense diagonalization or implicit-sigma "
+        "Davidson (auto switches to davidson past no*nv = 4096)",
     )
     p_cis.set_defaults(fn=cmd_cis)
 

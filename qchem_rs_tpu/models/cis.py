@@ -115,6 +115,51 @@ def _cis_solve(A):
     return jnp.linalg.eigh(A)
 
 
+def _cis_matvec_dense(ovov, oovv, diag2, singlet: bool):
+    """Batched CIS sigma vectors from resident MO blocks (incore tier)."""
+    no, nv = oovv.shape[0], oovv.shape[2]
+
+    @jax.jit
+    def mv(X):  # (m, no*nv) -> (m, no*nv)
+        Xr = X.reshape(-1, no, nv)
+        y = Xr * diag2[None]
+        if singlet:
+            y = y + 2.0 * jnp.einsum("iajb,njb->nia", ovov, Xr)
+        y = y - jnp.einsum("ijab,njb->nia", oovv, Xr)
+        return y.reshape(X.shape)
+
+    return mv
+
+
+def _cis_matvec_pair(builder, Co, Cv, oovv, diag2, singlet: bool):
+    """Batched CIS sigma vectors in the pair-space envelope: the Coulomb
+    term streams through the resident V2f as J(X_sym) — J annihilates the
+    antisymmetric part exactly, so only the symmetrized transition density
+    rides the unordered-pair matvec — and only the (no^2, nv^2) oovv block
+    is ever materialized (no (no*nv)^2 tensor)."""
+    V2f = builder.prepare()[0]
+    pidx, wj = builder._pidx, builder._wj
+    pmap_flat = builder._pmap2.reshape(-1)
+    no, nv = Co.shape[1], Cv.shape[1]
+    nao = Co.shape[0]
+
+    @jax.jit
+    def mv_inner(X, V2f):
+        Xr = X.reshape(-1, no, nv)
+        y = Xr * diag2[None]
+        if singlet:
+            Xao = jnp.einsum("pi,nia,qa->npq", Co, Xr, Cv)
+            Xs = 0.5 * (Xao + jnp.swapaxes(Xao, 1, 2))
+            dJ = Xs.reshape(Xs.shape[0], nao * nao)[:, pidx] * wj
+            Jp = dJ @ V2f  # V2f symmetric
+            Jao = Jp[:, pmap_flat].reshape(-1, nao, nao)
+            y = y + 2.0 * jnp.einsum("pi,npq,qa->nia", Co, Jao, Cv)
+        y = y - jnp.einsum("ijab,njb->nia", oovv, Xr)
+        return y.reshape(X.shape)
+
+    return lambda X: mv_inner(X, V2f)
+
+
 @jax.jit
 def _tdhf_solve(A, B):
     """Casida reduction: eigvals of S (A+B) S with S = (A-B)^(1/2).
@@ -127,6 +172,83 @@ def _tdhf_solve(A, B):
     omega = jnp.sqrt(jnp.maximum(w2, 0.0))
     xpy = (S @ Z) / jnp.sqrt(jnp.maximum(omega, 1e-30))
     return w2, xpy, jnp.min(wm)
+
+
+def _davidson_sym_lowest(
+    matvec,
+    diag: np.ndarray,
+    k: int,
+    *,
+    tol: float = 1e-8,
+    max_iter: int = 100,
+    max_subspace: int = 0,
+):
+    """Lowest-k eigenpairs of an implicit symmetric matrix by block Davidson.
+
+    ``matvec`` maps a (m, dim) batch of row vectors to (m, dim) — one jitted
+    einsum/matmul batch per subspace expansion (MXU work); the subspace
+    bookkeeping is host-side numpy. Incremental: each iteration
+    orthonormalizes only the new preconditioned residuals against the
+    existing basis and extends A@V by one batched matvec. Restarts collapse
+    to the current Ritz vectors. Returns (w, X, converged)."""
+    dim = diag.size
+    k = min(k, dim)
+    max_subspace = max_subspace or max(6 * k, 48)
+    nb = min(dim, max(2 * k, k + 4))
+    order = np.argsort(diag)[:nb]
+    V = np.zeros((dim, nb))
+    V[order, np.arange(nb)] = 1.0
+    AV = np.empty((dim, 0))
+
+    def _extend(B):
+        nonlocal V, AV
+        AB = np.asarray(matvec(jnp.asarray(B.T))).T
+        V = np.concatenate([V, B], axis=1) if V.size else B
+        AV = np.concatenate([AV, AB], axis=1) if AV.size else AB
+
+    # seed: V holds the initial block, AV empty
+    B0, V = V, np.empty((dim, 0))
+    _extend(B0)
+    for _ in range(max_iter):
+        T = V.T @ AV
+        T = 0.5 * (T + T.T)
+        w_all, S_all = np.linalg.eigh(T)
+        w, S = w_all[:k], S_all[:, :k]
+        X = V @ S
+        R = AV @ S - X * w
+        rn = np.linalg.norm(R, axis=0)
+        if np.all(rn < tol):
+            return w, X, True
+        new = []
+        for j in range(k):
+            if rn[j] < tol:
+                continue
+            d = w[j] - diag
+            d = np.where(np.abs(d) < 1e-8, np.copysign(1e-8, d + 1e-300), d)
+            new.append(R[:, j] / d)
+        B = np.array(new).T
+        # orthogonalize new directions against V (two MGS passes), drop
+        # numerically dependent ones
+        for _pass in range(2):
+            B = B - V @ (V.T @ B)
+        keep = []
+        for j in range(B.shape[1]):
+            col = B[:, j]
+            for kept in keep:
+                col = col - kept * (kept @ col)
+            nrm = np.linalg.norm(col)
+            if nrm > 1e-10:
+                keep.append(col / nrm)
+        if not keep:
+            return w, X, True  # stagnated at numerical precision
+        B = np.array(keep).T
+        if V.shape[1] + B.shape[1] > max_subspace:
+            # restart from Ritz vectors
+            V, AV = np.empty((dim, 0)), np.empty((dim, 0))
+            Xq, _ = np.linalg.qr(X)
+            _extend(Xq)
+        _extend(B)
+    return w, X, False
 
 
 def _mo_transition_dipoles(system, C, nocc):
@@ -277,6 +399,7 @@ def cis(
     nstates: int = 5,
     triplet: bool = False,
     tdhf: bool = False,
+    solver: str = "auto",
     output=None,
 ) -> CisOutput:
     """Lowest ``nstates`` CIS (or TDHF) excitations on a converged RHF.
@@ -285,6 +408,13 @@ def cis(
     the pair-space V2f matrix (no n^4 AO tensor — the same memory envelope
     that runs naphthalene/cc-pVDZ on one chip); any other mode uses the
     dense incore transform.
+
+    ``solver``: "dense" diagonalizes the assembled A; "davidson" iterates
+    lowest states with implicit sigma vectors (never assembles the
+    (no*nv)^2 matrix — in pair mode the Coulomb term streams through the
+    resident V2f, so the growth path documented in the module docstring is
+    real); "auto" picks davidson past no*nv = 4096 (CIS only — TDHF stays
+    dense via the Casida reduction).
     """
     from qchem_rs_tpu.models.rhf import (
         _direct_tools,
@@ -303,21 +433,67 @@ def cis(
     if nocc == 0 or nv == 0:
         raise ValueError("CIS needs at least one occupied and one virtual orbital")
 
+    if solver not in ("auto", "dense", "davidson"):
+        raise ValueError(f"unknown solver={solver!r}")
+    if tdhf and solver == "davidson":
+        raise ValueError("solver='davidson' supports CIS only; TDHF is dense")
+    use_dav = (not tdhf) and (
+        solver == "davidson" or (solver == "auto" and nocc * nv > 4096)
+    )
+
+    matvec = None
     if config.fock_mode == "pair":
         Cx = C
         if system.spherical:
             # V2f is Cartesian: lift the MO coefficients (mp2.py pattern)
             Cx = jnp.asarray(system.sph_T) @ C
         builder = _direct_tools(system, config, "pair")
-        ovov, oovv = _cis_blocks_pair(builder, Cx[:, :nocc], Cx[:, nocc:])
+        Co, Cv = Cx[:, :nocc], Cx[:, nocc:]
+        if use_dav:
+            from qchem_rs_tpu.models.mp2 import _pair_transform_matrix
+
+            V2f = builder.prepare()[0]
+            U_oo = _pair_transform_matrix(builder, Co, Co)
+            U_vv = _pair_transform_matrix(builder, Cv, Cv)
+            oovv = jax.jit(lambda V, L, R: L.T @ (V @ R))(
+                V2f, U_oo, U_vv
+            ).reshape(nocc, nocc, nv, nv)
+            diag2 = eps[nocc:][None, :] - eps[:nocc][:, None]
+            matvec = _cis_matvec_pair(builder, Co, Cv, oovv, diag2, not triplet)
+        else:
+            ovov, oovv = _cis_blocks_pair(builder, Co, Cv)
     else:
         _, engine = _incore_tools(system, config)
         ovov, oovv = _cis_blocks_dense(engine, C[:, :nocc], C[:, nocc:])
+        if use_dav:
+            diag2 = eps[nocc:][None, :] - eps[:nocc][:, None]
+            matvec = _cis_matvec_dense(ovov, oovv, diag2, not triplet)
 
-    A, B = _assemble_AB(ovov, oovv, eps[:nocc], eps[nocc:], not triplet)
     # transition dipoles live in the SCF working basis (NOT the Cartesian
     # lift): d_ov from the original C
     d_ov = _mo_transition_dipoles(system, C, nocc).reshape(3, -1)
+
+    if use_dav:
+        diag_flat = np.asarray(diag2).reshape(-1)
+        w, X, ok = _davidson_sym_lowest(matvec, diag_flat, nstates, tol=1e-7)
+        if not ok:
+            raise RuntimeError("Davidson iteration did not converge")
+        omega, amp = w, X
+        t = np.asarray(d_ov @ jnp.asarray(amp)) * np.sqrt(2.0)
+        f = (2.0 / 3.0) * omega * (t**2).sum(axis=0)
+        if triplet:
+            f = np.zeros_like(f)
+        k = min(nstates, omega.shape[0])
+        return CisOutput(
+            scf_total_energy=out.total_energy(),
+            excitation_energies=omega[:k],
+            oscillator_strengths=f[:k],
+            iterations=out.iterations,
+            method="cis",
+            triplet=triplet,
+        )
+
+    A, B = _assemble_AB(ovov, oovv, eps[:nocc], eps[nocc:], not triplet)
 
     if tdhf:
         w2, xpy, wm_min = _tdhf_solve(A, B)

@@ -150,3 +150,36 @@ def test_unconverged_reference_raises(h2):
     cfg = HartreeFockConfig(epsilon=1e-14, max_iterations=1)
     with pytest.raises(RuntimeError, match="converged"):
         cis(h2, cfg)
+
+
+def test_davidson_matches_dense():
+    """Implicit-sigma Davidson reproduces the dense eigensolve: singlet and
+    triplet, incore and pair-space matvecs (the pair path never assembles
+    the (no*nv)^2 matrix — Coulomb streams through the resident V2f)."""
+    system = _load("water", "6-31G")
+    cfg = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    for triplet in (False, True):
+        dense = cis(system, cfg, nstates=4, triplet=triplet, solver="dense")
+        dav = cis(system, cfg, nstates=4, triplet=triplet, solver="davidson")
+        np.testing.assert_allclose(
+            dav.excitation_energies, dense.excitation_energies, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            dav.oscillator_strengths, dense.oscillator_strengths, atol=1e-6
+        )
+    cfg_pair = dataclasses.replace(cfg, fock_mode="pair")
+    dense = cis(system, cfg_pair, nstates=4, solver="dense")
+    dav = cis(system, cfg_pair, nstates=4, solver="davidson")
+    np.testing.assert_allclose(
+        dav.excitation_energies, dense.excitation_energies, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        dav.oscillator_strengths, dense.oscillator_strengths, atol=1e-6
+    )
+
+
+def test_davidson_rejects_tdhf():
+    system = _load("hydrogen", "STO-3G")
+    cfg = HartreeFockConfig(epsilon=1e-9, max_iterations=50)
+    with pytest.raises(ValueError, match="davidson"):
+        cis(system, cfg, tdhf=True, solver="davidson")
