@@ -278,6 +278,169 @@ def _triples_energy(t1, t2, eps_o, eps_v, no, W):
 
 
 # --------------------------------------------------------------------------
+# closed-shell spin-adapted fast path (spatial orbitals)
+# --------------------------------------------------------------------------
+#
+# Derived by explicit spin summation of the SGWB equations onto the mixed
+# (alpha-beta) amplitude block T[i,j,a,b] = t2[ia_alpha, jb_beta] (T is the
+# full amplitude content of a closed-shell state: same-spin blocks are
+# A = T - T.swap(a,b)). 16x less memory than the spinorbital tensors (the
+# vvvv block is nv^4 instead of (2nv)^4) and ~4x fewer FLOPs. Correctness
+# is NOT trusted to the derivation: the development harness expanded random
+# spatial amplitudes to spinorbitals, ran the FCI-anchored _ccsd_step, and
+# projected back — the step below matches it to ~1e-16 on every case
+# (t1-only, t2-only, both), and tests/test_cc.py pins the full-iteration
+# equality on real molecules.
+
+
+def _mo_phys_blocks(e4, Co, Cv):
+    """Physicist-notation <pq|rs> MO blocks from the AO chemist tensor, via
+    six canonical chemist quarter-transform chains (one n^4-scale buffer at
+    a time; everything else is einsum relabeling)."""
+    A1 = jnp.einsum("pqrs,pi->iqrs", e4, Co)
+    oo = jnp.einsum("iqrs,qj->ijrs", A1, Co)
+    ov = jnp.einsum("iqrs,qa->iars", A1, Cv)
+    del A1
+    c_oooo = jnp.einsum("ijrs,rk,sl->ijkl", oo, Co, Co)
+    c_ooov = jnp.einsum("ijrs,rk,sa->ijka", oo, Co, Cv)
+    c_oovv = jnp.einsum("ijrs,ra,sb->ijab", oo, Cv, Cv)
+    c_ovov = jnp.einsum("iars,rj,sb->iajb", ov, Co, Cv)
+    c_ovvv = jnp.einsum("iars,rb,sc->iabc", ov, Cv, Cv)
+    B1 = jnp.einsum("pqrs,pa->aqrs", e4, Cv)
+    vv = jnp.einsum("aqrs,qb->abrs", B1, Cv)
+    del B1
+    c_vvvv = jnp.einsum("abrs,rc,sd->abcd", vv, Cv, Cv)
+    # chemist -> physicist relabelings (<pq|rs> = (pr|qs))
+    return {
+        "oooo": jnp.einsum("ikjl->ijkl", c_oooo),
+        "ooov": jnp.einsum("ikja->ijka", c_ooov),
+        "oovo": jnp.einsum("jkia->ijak", c_ooov),
+        "ovoo": jnp.einsum("ijka->iajk", c_ooov),
+        "oovv": jnp.einsum("iajb->ijab", c_ovov),
+        "ovov": jnp.einsum("ijab->iajb", c_oovv),
+        "ovvo": jnp.einsum("ibja->iabj", c_ovov),
+        "ovvv": jnp.einsum("ibac->iabc", c_ovvv),
+        "vovv": jnp.einsum("icab->aibc", c_ovvv),
+        "vvvo": jnp.einsum("ibac->abci", c_ovvv),
+        "vvvv": jnp.einsum("acbd->abcd", c_vvvv),
+    }
+
+
+@jax.jit
+def _ccsd_rhf_step(t1, T, eps_o, eps_v, g):
+    """One closed-shell CCSD update on (t1, T): harness-verified against the
+    spinorbital _ccsd_step to machine precision. ``g`` is the physicist
+    block dict from _mo_phys_blocks."""
+    g_oovv, g_ovvv, g_ooov = g["oovv"], g["ovvv"], g["ooov"]
+    g_oovo, g_ovov, g_ovvo = g["oovo"], g["ovov"], g["ovvo"]
+    g_oooo, g_vvvv, g_vovv = g["oooo"], g["vvvv"], g["vovv"]
+    g_vvvo, g_ovoo = g["vvvo"], g["ovoo"]
+
+    L_oovv = 2.0 * g_oovv - jnp.swapaxes(g_oovv, 2, 3)
+    L_ovvv = 2.0 * g_ovvv - jnp.swapaxes(g_ovvv, 2, 3)
+    L_ooov = 2.0 * g_ooov - jnp.transpose(g_oovo, (0, 1, 3, 2))
+
+    D1 = eps_o[:, None] - eps_v[None, :]
+    D2 = (
+        eps_o[:, None, None, None]
+        + eps_o[None, :, None, None]
+        - eps_v[None, None, :, None]
+        - eps_v[None, None, None, :]
+    )
+
+    t1t1 = jnp.einsum("ia,jb->ijab", t1, t1)
+    tau = T + t1t1
+    ttau = T + 0.5 * t1t1
+    A = T - jnp.swapaxes(T, 2, 3)
+    u = 2.0 * T - jnp.swapaxes(T, 2, 3)
+
+    Fae = jnp.einsum("mf,mafe->ae", t1, L_ovvv) - jnp.einsum(
+        "mnaf,mnef->ae", ttau, L_oovv
+    )
+    Fmi = jnp.einsum("ne,mnie->mi", t1, L_ooov) + jnp.einsum(
+        "inef,mnef->mi", ttau, L_oovv
+    )
+    Fme = jnp.einsum("nf,mnef->me", t1, L_oovv)
+
+    rhs1 = (
+        jnp.einsum("ie,ae->ia", t1, Fae)
+        - jnp.einsum("ma,mi->ia", t1, Fmi)
+        + jnp.einsum("imae,me->ia", u, Fme)
+        - jnp.einsum("nf,naif->ia", t1, g_ovov)
+        + jnp.einsum("nf,nafi->ia", t1, 2.0 * g_ovvo)
+        + jnp.einsum("imef,mafe->ia", T, 2.0 * g_ovvv)
+        - jnp.einsum("imef,maef->ia", T, g_ovvv)
+        - jnp.einsum("mnae,nmei->ia", T, 2.0 * g_oovo)
+        + jnp.einsum("mnae,nmie->ia", T, g_ooov)
+    )
+    t1n = rhs1 / D1
+
+    Wmnij = (
+        g_oooo
+        + jnp.einsum("je,mnie->mnij", t1, g_ooov)
+        + jnp.einsum("ie,mnej->mnij", t1, g_oovo)
+        + 0.5 * jnp.einsum("ijef,mnef->mnij", tau, g_oovv)
+    )
+    Wabef = (
+        g_vvvv
+        - jnp.einsum("mb,amef->abef", t1, g_vovv)
+        - jnp.einsum("ma,bmfe->abef", t1, g_vovv)
+        + 0.5 * jnp.einsum("mnab,mnef->abef", tau, g_oovv)
+    )
+    Wx = (
+        g_ovvo
+        + jnp.einsum("jf,mbef->mbej", t1, g_ovvv)
+        - jnp.einsum("nb,mnej->mbej", t1, g_oovo)
+        - jnp.einsum("jf,nb,mnef->mbej", t1, t1, g_oovv)
+        + 0.5 * jnp.einsum("jnbf,mnef->mbej", u, g_oovv)
+        - 0.5 * jnp.einsum("jnbf,mnfe->mbej", T, g_oovv)
+    )
+    Ws = (
+        g_ovvo
+        - jnp.einsum("mbje->mbej", g_ovov)
+        + jnp.einsum("jf,mbef->mbej", t1, g_ovvv)
+        - jnp.einsum("jf,mbfe->mbej", t1, g_ovvv)
+        - jnp.einsum("nb,mnej->mbej", t1, g_oovo)
+        + jnp.einsum("nb,mnje->mbej", t1, g_ooov)
+        - 0.5 * jnp.einsum("jnfb,mnef->mbej", A, g_oovv)
+        + 0.5 * jnp.einsum("jnfb,mnfe->mbej", A, g_oovv)
+        - jnp.einsum("jf,nb,mnef->mbej", t1, t1, g_oovv)
+        + jnp.einsum("jf,nb,mnfe->mbej", t1, t1, g_oovv)
+        + 0.5 * jnp.einsum("jnbf,mnef->mbej", T, g_oovv)
+    )
+    Wy = (
+        -jnp.einsum("mbje->mbej", g_ovov)
+        - jnp.einsum("jf,mbfe->mbej", t1, g_ovvv)
+        + jnp.einsum("nb,mnje->mbej", t1, g_ooov)
+        + 0.5 * jnp.einsum("njbf,mnfe->mbej", T, g_oovv)
+        + jnp.einsum("jf,nb,mnfe->mbej", t1, t1, g_oovv)
+    )
+
+    Xbe = Fae - 0.5 * jnp.einsum("mb,me->be", t1, Fme)
+    Xmj = Fmi + 0.5 * jnp.einsum("je,me->mj", t1, Fme)
+
+    Z = jnp.einsum("ijae,be->ijab", T, Xbe)
+    Z = Z - jnp.einsum("imab,mj->ijab", T, Xmj)
+    Z = Z + jnp.einsum("ie,abej->ijab", t1, g_vvvo)
+    Z = Z - jnp.einsum("ma,mbij->ijab", t1, g_ovoo)
+    Z = Z + jnp.einsum("imae,mbej->ijab", A, Wx)
+    Z = Z + jnp.einsum("imae,mbej->ijab", T, Ws)
+    Z = Z + jnp.einsum("imeb,maej->ijab", T, Wy)
+    Z = Z - jnp.einsum("ie,ma,mbej->ijab", t1, t1, g_ovvo)
+    Z = Z - jnp.einsum("ie,mb,maje->ijab", t1, t1, g_ovov)
+
+    rhs2 = g_oovv + Z + jnp.swapaxes(jnp.swapaxes(Z, 0, 1), 2, 3)
+    rhs2 = rhs2 + jnp.einsum("mnab,mnij->ijab", tau, Wmnij)
+    rhs2 = rhs2 + jnp.einsum("ijef,abef->ijab", tau, Wabef)
+    Tn = rhs2 / D2
+
+    energy = jnp.einsum(
+        "ijab,ijab->", L_oovv, Tn + jnp.einsum("ia,jb->ijab", t1n, t1n)
+    )
+    return t1n, Tn, energy
+
+
+# --------------------------------------------------------------------------
 # amplitude DIIS (host-side: the CC loop is host-driven anyway)
 # --------------------------------------------------------------------------
 
@@ -316,6 +479,37 @@ class _AmplitudeDiis:
 # --------------------------------------------------------------------------
 
 
+def _cc_loop(step, t1, t2, e_start, max_iterations, epsilon):
+    """Host-driven amplitude iteration with DIIS; shape-agnostic (serves the
+    spinorbital and spatial formulations). Returns
+    (t1, t2, energy, iterations, converged)."""
+    diis = _AmplitudeDiis()
+    n1 = t1.size
+    shape1, shape2 = t1.shape, t2.shape
+    energy = e_start
+    converged = False
+    iterations = 0
+    for it in range(1, max_iterations + 1):
+        t1_new, t2_new, e_new = step(t1, t2)
+        flat_new = np.concatenate(
+            [np.asarray(t1_new).ravel(), np.asarray(t2_new).ravel()]
+        )
+        flat_old = np.concatenate([np.asarray(t1).ravel(), np.asarray(t2).ravel()])
+        err = flat_new - flat_old
+        rms = float(np.sqrt(np.mean(err**2)))
+        de = float(e_new) - energy
+        energy = float(e_new)
+        iterations = it
+        if rms < epsilon and abs(de) < epsilon:
+            t1, t2 = t1_new, t2_new
+            converged = True
+            break
+        mixed = diis.extrapolate(flat_new, err)
+        t1 = jnp.asarray(mixed[:n1].reshape(shape1))
+        t2 = jnp.asarray(mixed[n1:].reshape(shape2))
+    return t1, t2, energy, iterations, converged
+
+
 def ccsd(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
@@ -324,13 +518,18 @@ def ccsd(
     triples: bool = False,
     max_cc_iterations: int = 100,
     cc_epsilon: float = 1e-8,
+    formulation: str = "auto",
     output=None,
 ) -> CcsdOutput:
     """CCSD (optionally with perturbative triples) on an HF reference.
 
     Closed shells run on RHF orbitals, open shells (spin_multiplicity > 1)
-    on UHF — one spinorbital code path covers both. `cc_epsilon` bounds
-    both the amplitude RMS change and |dE| between iterations."""
+    on UHF. ``formulation``: "spatial" is the closed-shell spin-adapted
+    fast path (16x less memory, ~4x fewer FLOPs — harness-verified against
+    the spinorbital step to machine precision); "spinorbital" is the
+    general path; "auto" picks spatial for closed shells without triples
+    ((T) is currently spinorbital-only). `cc_epsilon` bounds both the
+    amplitude RMS change and |dE| between iterations."""
     from qchem_rs_tpu.models import scf as scf_mod
     from qchem_rs_tpu.models.rhf import _incore_tools, restricted_hartree_fock
     from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock
@@ -361,51 +560,66 @@ def ccsd(
     if nfz >= min(na, nb):
         raise ValueError(f"frozen={nfz} leaves no correlated occupied orbitals")
 
+    if formulation not in ("auto", "spatial", "spinorbital"):
+        raise ValueError(f"unknown formulation={formulation!r}")
+    if formulation == "spatial":
+        if na != nb:
+            raise ValueError("formulation='spatial' requires a closed shell")
+        if triples:
+            raise ValueError("(T) is spinorbital-only; use formulation='auto'")
+    # auto: spatial only on a genuinely restricted reference (UHF outputs on
+    # closed shells keep the spinorbital path — their alpha/beta orbital
+    # sets are only numerically, not structurally, identical)
+    use_spatial = formulation == "spatial" or (
+        formulation == "auto" and na == nb and not triples and C_b is C_a
+    )
+
     _, engine = _incore_tools(system, config)
     e4 = engine.finish_eri(engine.build())
-    W, eps_o, eps_v, no, nv = _spinorbital_setup(
-        e4, C_a, C_b, eps_a, eps_b, na, nb, nfz
-    )
 
-    # MP2 start: t1 = 0, t2 = <ij||ab> / D2
-    D2 = (
-        eps_o[:, None, None, None]
-        + eps_o[None, :, None, None]
-        - eps_v[None, None, :, None]
-        - eps_v[None, None, None, :]
-    )
-    Woovv = W[:no, :no, no:, no:]
-    t1 = jnp.zeros((no, nv))
-    t2 = Woovv / D2
-    e_mp2 = float(0.25 * jnp.einsum("ijab,ijab->", Woovv, t2))
-
-    diis = _AmplitudeDiis()
-    n1 = no * nv
-    energy = e_mp2
-    converged = False
-    iterations = 0
-    for it in range(1, max_cc_iterations + 1):
-        t1_new, t2_new, e_new = _ccsd_step(t1, t2, eps_o, eps_v, no, W)
-        flat_new = np.concatenate(
-            [np.asarray(t1_new).ravel(), np.asarray(t2_new).ravel()]
+    if use_spatial:
+        Co, Cv = C_a[:, nfz:na], C_a[:, na:]
+        g = _mo_phys_blocks(e4, Co, Cv)
+        eps_o = jnp.asarray(eps_a[nfz:na])
+        eps_v = jnp.asarray(eps_a[na:])
+        D2 = (
+            eps_o[:, None, None, None]
+            + eps_o[None, :, None, None]
+            - eps_v[None, None, :, None]
+            - eps_v[None, None, None, :]
         )
-        flat_old = np.concatenate([np.asarray(t1).ravel(), np.asarray(t2).ravel()])
-        err = flat_new - flat_old
-        rms = float(np.sqrt(np.mean(err**2)))
-        de = float(e_new) - energy
-        energy = float(e_new)
-        iterations = it
-        if rms < cc_epsilon and abs(de) < cc_epsilon:
-            t1, t2 = t1_new, t2_new
-            converged = True
-            break
-        mixed = diis.extrapolate(flat_new, err)
-        t1 = jnp.asarray(mixed[:n1].reshape(no, nv))
-        t2 = jnp.asarray(mixed[n1:].reshape(no, no, nv, nv))
-
-    e_t = None
-    if triples:
-        e_t = float(_triples_energy(t1, t2, eps_o, eps_v, no, W))
+        g_oovv = g["oovv"]
+        L_oovv = 2.0 * g_oovv - jnp.swapaxes(g_oovv, 2, 3)
+        T = g_oovv / D2
+        t1 = jnp.zeros((eps_o.size, eps_v.size))
+        e_mp2 = float(jnp.einsum("ijab,ijab->", L_oovv, T))
+        step = lambda a, b: _ccsd_rhf_step(a, b, eps_o, eps_v, g)
+        t1, T, energy, iterations, converged = _cc_loop(
+            step, t1, T, e_mp2, max_cc_iterations, cc_epsilon
+        )
+        e_t = None
+    else:
+        W, eps_o, eps_v, no, nv = _spinorbital_setup(
+            e4, C_a, C_b, eps_a, eps_b, na, nb, nfz
+        )
+        # MP2 start: t1 = 0, t2 = <ij||ab> / D2
+        D2 = (
+            eps_o[:, None, None, None]
+            + eps_o[None, :, None, None]
+            - eps_v[None, None, :, None]
+            - eps_v[None, None, None, :]
+        )
+        Woovv = W[:no, :no, no:, no:]
+        t1 = jnp.zeros((no, nv))
+        t2 = Woovv / D2
+        e_mp2 = float(0.25 * jnp.einsum("ijab,ijab->", Woovv, t2))
+        step = lambda a, b: _ccsd_step(a, b, eps_o, eps_v, no, W)
+        t1, t2, energy, iterations, converged = _cc_loop(
+            step, t1, t2, e_mp2, max_cc_iterations, cc_epsilon
+        )
+        e_t = None
+        if triples:
+            e_t = float(_triples_energy(t1, t2, eps_o, eps_v, no, W))
 
     return CcsdOutput(
         scf_total_energy=out.total_energy(),

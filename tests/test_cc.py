@@ -110,3 +110,40 @@ def test_frozen_core_ccsd():
     assert fz.converged
     assert 0 > fz.correlation_energy > full.correlation_energy
     assert abs(fz.correlation_energy - full.correlation_energy) < 5e-3
+
+
+def test_spatial_formulation_matches_spinorbital():
+    """The closed-shell spin-adapted fast path (16x less memory) reproduces
+    the spinorbital formulation exactly: correlation energy to 1e-9 on
+    water in two bases, with and without frozen core."""
+    for basis in ("STO-3G", "6-31G"):
+        system = load_reference_system("water", basis)
+        config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+        so = ccsd(system, config, cc_epsilon=1e-10, formulation="spinorbital")
+        sp = ccsd(system, config, cc_epsilon=1e-10, formulation="spatial")
+        assert sp.converged and so.converged
+        assert sp.correlation_energy == pytest.approx(
+            so.correlation_energy, abs=1e-9
+        )
+        assert sp.mp2_correlation_energy == pytest.approx(
+            so.mp2_correlation_energy, abs=1e-10
+        )
+    system = load_reference_system("water", "STO-3G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    so = ccsd(system, config, cc_epsilon=1e-10, frozen="auto",
+              formulation="spinorbital")
+    sp = ccsd(system, config, cc_epsilon=1e-10, frozen="auto",
+              formulation="spatial")
+    assert sp.correlation_energy == pytest.approx(so.correlation_energy, abs=1e-9)
+
+
+def test_spatial_formulation_guards():
+    system = load_reference_system("hydroxyl", "STO-3G")
+    config = HartreeFockConfig(epsilon=1e-9, max_iterations=300,
+                               spin_multiplicity=2)
+    with pytest.raises(ValueError, match="closed shell"):
+        ccsd(system, config, formulation="spatial")
+    system2 = load_reference_system("hydrogen", "STO-3G")
+    config2 = HartreeFockConfig(epsilon=1e-9, max_iterations=100)
+    with pytest.raises(ValueError, match="spinorbital-only"):
+        ccsd(system2, config2, formulation="spatial", triples=True)
