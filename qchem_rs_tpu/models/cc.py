@@ -310,6 +310,40 @@ def _mo_phys_blocks(e4, Co, Cv):
     vv = jnp.einsum("aqrs,qb->abrs", B1, Cv)
     del B1
     c_vvvv = jnp.einsum("abrs,rc,sd->abcd", vv, Cv, Cv)
+    return _phys_from_chem(c_oooo, c_ooov, c_oovv, c_ovov, c_ovvv, c_vvvv)
+
+
+def _mo_phys_blocks_pair(builder, Co, Cv):
+    """The same six chemist MO blocks through the pair-space V2f — two MXU
+    matmuls each against the resident matrix, NO n^4 AO tensor anywhere
+    (the mp2_pair_space envelope extended to coupled cluster; the nv^4
+    vvvv MO block is the remaining memory cap, documented)."""
+    from qchem_rs_tpu.models.mp2 import _pair_transform_matrix
+    from qchem_rs_tpu.ops.fock_pair import _mirror
+
+    if builder._prepared is not None:
+        V2f = builder._prepared[0]
+    else:
+        V2f = jax.jit(_mirror, donate_argnums=(0,))(builder.engine.build())
+    no, nv = Co.shape[1], Cv.shape[1]
+    U_oo = _pair_transform_matrix(builder, Co, Co)
+    U_ov = _pair_transform_matrix(builder, Co, Cv)
+    U_vv = _pair_transform_matrix(builder, Cv, Cv)
+
+    @jax.jit
+    def contract(V2f, L, R):
+        return L.T @ (V2f @ R)
+
+    c_oooo = contract(V2f, U_oo, U_oo).reshape(no, no, no, no)
+    c_ooov = contract(V2f, U_oo, U_ov).reshape(no, no, no, nv)
+    c_oovv = contract(V2f, U_oo, U_vv).reshape(no, no, nv, nv)
+    c_ovov = contract(V2f, U_ov, U_ov).reshape(no, nv, no, nv)
+    c_ovvv = contract(V2f, U_ov, U_vv).reshape(no, nv, nv, nv)
+    c_vvvv = contract(V2f, U_vv, U_vv).reshape(nv, nv, nv, nv)
+    return _phys_from_chem(c_oooo, c_ooov, c_oovv, c_ovov, c_ovvv, c_vvvv)
+
+
+def _phys_from_chem(c_oooo, c_ooov, c_oovv, c_ovov, c_ovvv, c_vvvv):
     # chemist -> physicist relabelings (<pq|rs> = (pr|qs))
     return {
         "oooo": jnp.einsum("ikjl->ijkl", c_oooo),
@@ -574,12 +608,20 @@ def ccsd(
         formulation == "auto" and na == nb and not triples and C_b is C_a
     )
 
-    _, engine = _incore_tools(system, config)
-    e4 = engine.finish_eri(engine.build())
-
     if use_spatial:
-        Co, Cv = C_a[:, nfz:na], C_a[:, na:]
-        g = _mo_phys_blocks(e4, Co, Cv)
+        if config.fock_mode == "pair":
+            # no n^4 AO tensor: MO blocks ride the resident pair-space V2f
+            from qchem_rs_tpu.models.rhf import _direct_tools
+
+            Cx = C_a
+            if system.spherical:
+                Cx = jnp.asarray(system.sph_T) @ C_a
+            builder = _direct_tools(system, config, "pair")
+            g = _mo_phys_blocks_pair(builder, Cx[:, nfz:na], Cx[:, na:])
+        else:
+            _, engine = _incore_tools(system, config)
+            e4 = engine.finish_eri(engine.build())
+            g = _mo_phys_blocks(e4, C_a[:, nfz:na], C_a[:, na:])
         eps_o = jnp.asarray(eps_a[nfz:na])
         eps_v = jnp.asarray(eps_a[na:])
         D2 = (
@@ -599,6 +641,9 @@ def ccsd(
         )
         e_t = None
     else:
+        # the general spinorbital path stays dense (incore transform)
+        _, engine = _incore_tools(system, config)
+        e4 = engine.finish_eri(engine.build())
         W, eps_o, eps_v, no, nv = _spinorbital_setup(
             e4, C_a, C_b, eps_a, eps_b, na, nb, nfz
         )

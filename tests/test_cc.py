@@ -147,3 +147,32 @@ def test_spatial_formulation_guards():
     config2 = HartreeFockConfig(epsilon=1e-9, max_iterations=100)
     with pytest.raises(ValueError, match="spinorbital-only"):
         ccsd(system2, config2, formulation="spatial", triples=True)
+
+
+def test_spatial_pair_blocks_match_incore():
+    """fock_mode='pair' CCSD (MO blocks through the resident V2f, no n^4
+    AO tensor) equals the incore transform, cartesian and spherical."""
+    import dataclasses
+
+    for spherical in (False, True):
+        system = load_reference_system("water", "6-31G")
+        if spherical:
+            from qchem_rs_tpu.utils.basis import BasisSet
+            from qchem_rs_tpu.utils.system import MolecularSystem
+            from tests.helpers import DATA_BASIS, DATA_MOL
+
+            b = BasisSet.load(f"{DATA_BASIS}/6-31G.json")
+            system = MolecularSystem.load(
+                f"{DATA_MOL}/water.json", b, spherical=True
+            )
+        config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+        inc = ccsd(system, config, cc_epsilon=1e-10)
+        pair = ccsd(
+            system,
+            dataclasses.replace(config, fock_mode="pair"),
+            cc_epsilon=1e-10,
+        )
+        assert pair.converged
+        assert pair.correlation_energy == pytest.approx(
+            inc.correlation_energy, abs=1e-9
+        )
