@@ -474,6 +474,79 @@ def _ccsd_rhf_step(t1, T, eps_o, eps_v, g):
     return t1n, Tn, energy
 
 
+@jax.jit
+def _triples_energy_rhf(t1, T, eps_o, eps_v, g):
+    """Closed-shell (T) in spatial orbitals: E_T = (1/18) S_aaa + (1/2) S_aab.
+
+    Block decomposition of the spinorbital formula — the 36 spinorbital
+    spin-slot arrangements collapse onto two spatial blocks (all-alpha and
+    the canonical two-alpha/one-beta pattern) by the slot-permutation
+    symmetry of num_c (num_c + num_d) / D3. The mixed-block 16-term num_c
+    below is the explicit spin summation; harness-verified against the
+    spinorbital _triples_energy to ~1e-17 on random amplitudes. Same
+    o^3 v^3 full-tensor memory tier as the spinorbital form, at 1/64 the
+    elements per tensor."""
+    g_oovv = g["oovv"]
+    g_vovv = g["vovv"]
+    g_ovoo = g["ovoo"]
+    A = T - jnp.swapaxes(T, 2, 3)
+    gb_oovv = g_oovv - jnp.swapaxes(g_oovv, 2, 3)
+    gb_vovv = g_vovv - jnp.swapaxes(g_vovv, 2, 3)
+    gb_ovoo = g_ovoo - jnp.swapaxes(g_ovoo, 2, 3)
+
+    D3 = (
+        eps_o[:, None, None, None, None, None]
+        + eps_o[None, :, None, None, None, None]
+        + eps_o[None, None, :, None, None, None]
+        - eps_v[None, None, None, :, None, None]
+        - eps_v[None, None, None, None, :, None]
+        - eps_v[None, None, None, None, None, :]
+    )
+
+    def p_ijk(x):
+        return x - jnp.swapaxes(x, 0, 1) - jnp.swapaxes(x, 0, 2)
+
+    def p_abc(x):
+        return x - jnp.swapaxes(x, 3, 4) - jnp.swapaxes(x, 3, 5)
+
+    numd_aaa = p_ijk(p_abc(jnp.einsum("ia,jkbc->ijkabc", t1, gb_oovv)))
+    numc_aaa = p_ijk(
+        p_abc(
+            jnp.einsum("jkae,eibc->ijkabc", A, gb_vovv)
+            - jnp.einsum("imbc,majk->ijkabc", A, gb_ovoo)
+        )
+    )
+    s_aaa = jnp.einsum("ijkabc,ijkabc->", numc_aaa, (numc_aaa + numd_aaa) / D3)
+
+    numd = (
+        jnp.einsum("ia,jkbc->ijkabc", t1, g_oovv)
+        - jnp.einsum("ib,jkac->ijkabc", t1, g_oovv)
+        - jnp.einsum("ja,ikbc->ijkabc", t1, g_oovv)
+        + jnp.einsum("jb,ikac->ijkabc", t1, g_oovv)
+        + jnp.einsum("kc,jiba->ijkabc", t1, gb_oovv)
+    )
+    numc = (
+        -jnp.einsum("jkae,eicb->ijkabc", T, g_vovv)
+        + jnp.einsum("jkbe,eica->ijkabc", T, g_vovv)
+        + jnp.einsum("jkec,eiba->ijkabc", T, gb_vovv)
+        + jnp.einsum("ikae,ejcb->ijkabc", T, g_vovv)
+        - jnp.einsum("ikbe,ejca->ijkabc", T, g_vovv)
+        - jnp.einsum("ikec,ejba->ijkabc", T, gb_vovv)
+        - jnp.einsum("jiae,ekbc->ijkabc", A, g_vovv)
+        + jnp.einsum("jibe,ekac->ijkabc", A, g_vovv)
+        + jnp.einsum("imbc,makj->ijkabc", T, g_ovoo)
+        - jnp.einsum("imac,mbkj->ijkabc", T, g_ovoo)
+        + jnp.einsum("imba,mcjk->ijkabc", A, g_ovoo)
+        - jnp.einsum("jmbc,maki->ijkabc", T, g_ovoo)
+        + jnp.einsum("jmac,mbki->ijkabc", T, g_ovoo)
+        - jnp.einsum("jmba,mcik->ijkabc", A, g_ovoo)
+        - jnp.einsum("mkbc,maji->ijkabc", T, gb_ovoo)
+        + jnp.einsum("mkac,mbji->ijkabc", T, gb_ovoo)
+    )
+    s_aab = jnp.einsum("ijkabc,ijkabc->", numc, (numc + numd) / D3)
+    return s_aaa / 18.0 + 0.5 * s_aab
+
+
 # --------------------------------------------------------------------------
 # amplitude DIIS (host-side: the CC loop is host-driven anyway)
 # --------------------------------------------------------------------------
@@ -560,10 +633,10 @@ def ccsd(
     Closed shells run on RHF orbitals, open shells (spin_multiplicity > 1)
     on UHF. ``formulation``: "spatial" is the closed-shell spin-adapted
     fast path (16x less memory, ~4x fewer FLOPs — harness-verified against
-    the spinorbital step to machine precision); "spinorbital" is the
-    general path; "auto" picks spatial for closed shells without triples
-    ((T) is currently spinorbital-only). `cc_epsilon` bounds both the
-    amplitude RMS change and |dE| between iterations."""
+    the spinorbital step to machine precision, (T) included); "spinorbital"
+    is the general path; "auto" picks spatial for restricted references.
+    `cc_epsilon` bounds both the amplitude RMS change and |dE| between
+    iterations."""
     from qchem_rs_tpu.models import scf as scf_mod
     from qchem_rs_tpu.models.rhf import _incore_tools, restricted_hartree_fock
     from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock
@@ -599,13 +672,11 @@ def ccsd(
     if formulation == "spatial":
         if na != nb:
             raise ValueError("formulation='spatial' requires a closed shell")
-        if triples:
-            raise ValueError("(T) is spinorbital-only; use formulation='auto'")
     # auto: spatial only on a genuinely restricted reference (UHF outputs on
     # closed shells keep the spinorbital path — their alpha/beta orbital
     # sets are only numerically, not structurally, identical)
     use_spatial = formulation == "spatial" or (
-        formulation == "auto" and na == nb and not triples and C_b is C_a
+        formulation == "auto" and na == nb and C_b is C_a
     )
 
     if use_spatial:
@@ -640,6 +711,8 @@ def ccsd(
             step, t1, T, e_mp2, max_cc_iterations, cc_epsilon
         )
         e_t = None
+        if triples:
+            e_t = float(_triples_energy_rhf(t1, T, eps_o, eps_v, g))
     else:
         # the general spinorbital path stays dense (incore transform)
         _, engine = _incore_tools(system, config)

@@ -143,10 +143,22 @@ def test_spatial_formulation_guards():
                                spin_multiplicity=2)
     with pytest.raises(ValueError, match="closed shell"):
         ccsd(system, config, formulation="spatial")
-    system2 = load_reference_system("hydrogen", "STO-3G")
-    config2 = HartreeFockConfig(epsilon=1e-9, max_iterations=100)
-    with pytest.raises(ValueError, match="spinorbital-only"):
-        ccsd(system2, config2, formulation="spatial", triples=True)
+
+
+def test_spatial_triples_matches_spinorbital():
+    """Closed-shell (T) in spatial orbitals (block-decomposed formula)
+    equals the spinorbital (T) to 1e-10 after identically converged
+    amplitudes."""
+    system = load_reference_system("water", "STO-3G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    so = ccsd(system, config, cc_epsilon=1e-11, triples=True,
+              formulation="spinorbital")
+    sp = ccsd(system, config, cc_epsilon=1e-11, triples=True,
+              formulation="spatial")
+    assert sp.triples_correction == pytest.approx(
+        so.triples_correction, abs=1e-10
+    )
+    assert sp.triples_correction < 0.0
 
 
 def test_spatial_pair_blocks_match_incore():
