@@ -547,6 +547,92 @@ def _triples_energy_rhf(t1, T, eps_o, eps_v, g):
     return s_aaa / 18.0 + 0.5 * s_aab
 
 
+@jax.jit
+def _triples_energy_rhf_batched(t1, T, eps_o, eps_v, g):
+    """The same closed-shell (T) as _triples_energy_rhf, evaluated as a
+    lax.scan over the first occupied index: peak memory drops from o^3 v^3
+    to o^2 v^3 (a handful of [jkabc]-slabs per step), which is what lets
+    (T) run past the full-tensor tier's HBM cap. Equality with the
+    full-tensor form is pinned by tests/test_cc.py."""
+    g_oovv = g["oovv"]
+    g_vovv = g["vovv"]
+    g_ovoo = g["ovoo"]
+    A = T - jnp.swapaxes(T, 2, 3)
+    gb_oovv = g_oovv - jnp.swapaxes(g_oovv, 2, 3)
+    gb_vovv = g_vovv - jnp.swapaxes(g_vovv, 2, 3)
+    gb_ovoo = g_ovoo - jnp.swapaxes(g_ovoo, 2, 3)
+    no = eps_o.shape[0]
+
+    D3_jk = (
+        eps_o[:, None, None, None, None]
+        + eps_o[None, :, None, None, None]
+        - eps_v[None, None, :, None, None]
+        - eps_v[None, None, None, :, None]
+        - eps_v[None, None, None, None, :]
+    )
+
+    def step(acc, i):
+        t1_i = t1[i]
+        Ti = T[i]
+        Ai = A[i]
+        D3 = eps_o[i] + D3_jk  # [j k a b c]
+
+        # ---- all-alpha block: numd/numc slabs at fixed i ------------------
+        # base = einsum('ia,jkbc'); images under i<->j / i<->k permutations
+        base = jnp.einsum("a,jkbc->jkabc", t1_i, gb_oovv)
+        im_j = jnp.einsum("ja,kbc->jkabc", t1, gb_oovv[i])
+        im_k = jnp.einsum("ka,jbc->jkabc", t1, gb_oovv[:, i])
+        numd_aaa = base - im_j - im_k
+
+        def p_abc(x):
+            return x - jnp.swapaxes(x, 2, 3) - jnp.swapaxes(x, 2, 4)
+
+        numd_aaa = p_abc(numd_aaa)
+        c_base = jnp.einsum("jkae,ebc->jkabc", A, gb_vovv[:, i]) - jnp.einsum(
+            "mbc,majk->jkabc", A[i], gb_ovoo
+        )
+        c_imj = jnp.einsum("kae,ejbc->jkabc", A[i], gb_vovv) - jnp.einsum(
+            "jmbc,mak->jkabc", A, gb_ovoo[:, :, i]
+        )
+        c_imk = jnp.einsum("jae,ekbc->jkabc", A[:, i], gb_vovv) - jnp.einsum(
+            "kmbc,maj->jkabc", A, gb_ovoo[..., i]
+        )
+        numc_aaa = p_abc(c_base - c_imj - c_imk)
+        s_aaa = jnp.einsum("jkabc,jkabc->", numc_aaa, (numc_aaa + numd_aaa) / D3)
+
+        # ---- mixed block at fixed i ---------------------------------------
+        numd = (
+            jnp.einsum("a,jkbc->jkabc", t1_i, g_oovv)
+            - jnp.einsum("b,jkac->jkabc", t1_i, g_oovv)
+            - jnp.einsum("ja,kbc->jkabc", t1, g_oovv[i])
+            + jnp.einsum("jb,kac->jkabc", t1, g_oovv[i])
+            + jnp.einsum("kc,jba->jkabc", t1, gb_oovv[:, i])
+        )
+        numc = (
+            -jnp.einsum("jkae,ecb->jkabc", T, g_vovv[:, i])
+            + jnp.einsum("jkbe,eca->jkabc", T, g_vovv[:, i])
+            + jnp.einsum("jkec,eba->jkabc", T, gb_vovv[:, i])
+            + jnp.einsum("kae,ejcb->jkabc", Ti, g_vovv)
+            - jnp.einsum("kbe,ejca->jkabc", Ti, g_vovv)
+            - jnp.einsum("kec,ejba->jkabc", Ti, gb_vovv)
+            - jnp.einsum("jae,ekbc->jkabc", A[:, i], g_vovv)
+            + jnp.einsum("jbe,ekac->jkabc", A[:, i], g_vovv)
+            + jnp.einsum("mbc,makj->jkabc", Ti, g_ovoo)
+            - jnp.einsum("mac,mbkj->jkabc", Ti, g_ovoo)
+            + jnp.einsum("mba,mcjk->jkabc", Ai, g_ovoo)
+            - jnp.einsum("jmbc,mak->jkabc", T, g_ovoo[..., i])
+            + jnp.einsum("jmac,mbk->jkabc", T, g_ovoo[..., i])
+            - jnp.einsum("jmba,mck->jkabc", A, g_ovoo[:, :, i])
+            - jnp.einsum("mkbc,maj->jkabc", T, gb_ovoo[..., i])
+            + jnp.einsum("mkac,mbj->jkabc", T, gb_ovoo[..., i])
+        )
+        s_aab = jnp.einsum("jkabc,jkabc->", numc, (numc + numd) / D3)
+        return acc + s_aaa / 18.0 + 0.5 * s_aab, None
+
+    total, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(no))
+    return total
+
+
 # --------------------------------------------------------------------------
 # amplitude DIIS (host-side: the CC loop is host-driven anyway)
 # --------------------------------------------------------------------------
@@ -712,7 +798,15 @@ def ccsd(
         )
         e_t = None
         if triples:
-            e_t = float(_triples_energy_rhf(t1, T, eps_o, eps_v, g))
+            # full 6-index tensors up to ~1.6 GB; the scan-batched form
+            # (o^2 v^3 peak) beyond
+            o3v3 = eps_o.size**3 * eps_v.size**3
+            tri = (
+                _triples_energy_rhf_batched
+                if o3v3 > 2e8
+                else _triples_energy_rhf
+            )
+            e_t = float(tri(t1, T, eps_o, eps_v, g))
     else:
         # the general spinorbital path stays dense (incore transform)
         _, engine = _incore_tools(system, config)
