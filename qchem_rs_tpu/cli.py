@@ -473,6 +473,31 @@ def cmd_frequencies(args) -> int:
     print(f"near-zero (trans/rot) modes: {res.n_zero_modes}")
     vib = [f for f in res.frequencies_cm1 if abs(f) >= 50.0]
     print("harmonic frequencies (cm^-1):", " ".join(f"{f:8.1f}" for f in vib))
+    if getattr(args, "thermo", False):
+        from qchem_rs_tpu.models.thermo import thermochemistry
+
+        th = thermochemistry(
+            system,
+            res.frequencies_cm1,
+            temperature=args.temperature,
+            pressure=args.pressure,
+            symmetry_number=args.symmetry_number,
+            spin_multiplicity=max(cfg.spin_multiplicity, 1),
+        )
+        shape = "linear" if th.linear else ("atom" if not len(th.rotational_temperatures) else "nonlinear")
+        print(
+            f"thermochemistry (RRHO, {th.temperature:.2f} K, "
+            f"{th.pressure:.0f} Pa, sigma={args.symmetry_number}, {shape}):"
+        )
+        print(f"  zero-point energy: {th.zpe:.6f} Eh")
+        print(f"  thermal energy (U - E_elec): {th.thermal_energy:.6f} Eh")
+        print(f"  thermal enthalpy (H - E_elec): {th.thermal_enthalpy:.6f} Eh")
+        print(f"  thermal gibbs (G - E_elec): {th.thermal_gibbs:.6f} Eh")
+        p = th.entropy_parts
+        print(
+            f"  entropy: {th.entropy:.3f} J/(mol K)  [trans {p['trans']:.3f}"
+            f", rot {p['rot']:.3f}, vib {p['vib']:.3f}, elec {p['elec']:.3f}]"
+        )
     return 0
 
 
@@ -664,6 +689,23 @@ def main(argv=None) -> int:
         "--opt-first",
         action="store_true",
         help="optimize the geometry before the harmonic analysis",
+    )
+    p_freq.add_argument(
+        "--thermo",
+        action="store_true",
+        help="ideal-gas RRHO thermochemistry (ZPE, U, H, G, S)",
+    )
+    p_freq.add_argument(
+        "--temperature", type=float, default=298.15, help="temperature (K)"
+    )
+    p_freq.add_argument(
+        "--pressure", type=float, default=101325.0, help="pressure (Pa)"
+    )
+    p_freq.add_argument(
+        "--symmetry-number",
+        type=int,
+        default=1,
+        help="rotational symmetry number sigma",
     )
     p_freq.set_defaults(fn=cmd_frequencies)
 
