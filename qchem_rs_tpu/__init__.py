@@ -62,8 +62,87 @@ _cache_dir = os.environ.get("QCHEM_COMPILE_CACHE") or os.path.expanduser(
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # A finite max size turns on jax's cross-process FileLock around cache
+    # get/put (LRUCache.eviction_enabled) — without it, concurrent processes
+    # sharing the cache can read an entry mid-write and feed garbage to the
+    # XLA executable deserializer (observed 2026-08-18: SIGSEGV in
+    # get_executable_and_time while another process was compiling). 50 GiB
+    # means eviction itself effectively never triggers here.
+    jax.config.update("jax_compilation_cache_max_size", 50 * 2**30)
 except Exception:  # older jax without these options
     pass
+
+
+def _harden_compile_cache() -> None:
+    """Close the two corruption paths of jax's on-disk compile cache.
+
+    1. LRUCache.put writes entries with a bare ``write_bytes`` — NOT
+       atomic. A process killed mid-write (``timeout``-bounded runs) leaves
+       a truncated entry forever, and a concurrent reader can observe a
+       partial file; either way the XLA deserializer gets garbage and can
+       SIGSEGV (uncatchable). Replace ``put`` with a same-directory
+       temp-file + ``os.replace`` version: an entry is either absent or
+       complete.
+    2. Eviction mode (which carries the cross-process lock we want) stats
+       an ``-atime`` sidecar for every entry; entries written before this
+       hardening have none and would raise FileNotFoundError inside put.
+       Backfill missing sidecars once at import.
+
+    Best-effort: any drift from the pinned jax internals degrades silently
+    to the stock behavior."""
+    try:
+        import time as _time
+
+        import jax._src.lru_cache as _lru
+
+        if getattr(_lru.LRUCache.put, "_qchem_atomic", False):
+            return
+        _suffix, _asuffix = _lru._CACHE_SUFFIX, _lru._ATIME_SUFFIX
+
+        try:
+            now = _time.time_ns().to_bytes(8, "little")
+            with os.scandir(_cache_dir) as it:
+                for entry in it:
+                    if entry.name.endswith(_suffix):
+                        apath = os.path.join(
+                            _cache_dir,
+                            entry.name[: -len(_suffix)] + _asuffix,
+                        )
+                        if not os.path.exists(apath):
+                            with open(apath, "wb") as fh:
+                                fh.write(now)
+        except OSError:
+            pass
+
+        def put(self, key: str, val: bytes) -> None:
+            if not key:
+                raise ValueError("key cannot be empty")
+            if self.eviction_enabled and len(val) > self.max_size:
+                return
+            cache_path = self.path / f"{key}{_suffix}"
+            if self.eviction_enabled:
+                self.lock.acquire(timeout=self.lock_timeout_secs)
+            try:
+                if cache_path.exists():
+                    return
+                self._evict_if_needed(additional_size=len(val))
+                tmp = self.path / f"{key}.tmp{os.getpid()}"
+                tmp.write_bytes(val)
+                os.replace(tmp, cache_path)
+                if self.eviction_enabled:
+                    stamp = _time.time_ns().to_bytes(8, "little")
+                    (self.path / f"{key}{_asuffix}").write_bytes(stamp)
+            finally:
+                if self.eviction_enabled:
+                    self.lock.release()
+
+        put._qchem_atomic = True
+        _lru.LRUCache.put = put
+    except Exception:
+        pass
+
+
+_harden_compile_cache()
 
 from qchem_rs_tpu.utils.basis import BasisSet
 from qchem_rs_tpu.utils.system import Atom, MolecularSystem
