@@ -262,6 +262,17 @@ def cmd_uhf(args) -> int:
     print(f"hartree fock energy: {out.total_energy():3.3f}")
     print(f"orbital energies alpha spin:   {_fmt_orbitals(out.orbital_energies_alpha)}")
     print(f"orbital energies beta spin: {_fmt_orbitals(out.orbital_energies_beta)}")
+    from qchem_rs_tpu.models import scf as scf_mod
+    from qchem_rs_tpu.models.properties import spin_expectation
+
+    na, nb = scf_mod.electron_counts(
+        system.n_electrons(cfg.charge), cfg.spin_multiplicity
+    )
+    s2, excess = spin_expectation(system, out.coefficients, na, nb)
+    print(
+        f"spin expectation <S^2>: {s2:.4f} "
+        f"(exact {s2 - excess:.4f}, contamination {excess:+.4f})"
+    )
     _print_properties(args, system, out.density[0] + out.density[1])
     return 0
 

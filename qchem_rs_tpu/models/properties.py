@@ -42,3 +42,27 @@ def mulliken_charges(system: MolecularSystem, density: np.ndarray) -> np.ndarray
     q = np.asarray(system.charges, dtype=float).copy()
     np.subtract.at(q, ao_atoms, pops)
     return q
+
+
+def spin_expectation(
+    system: MolecularSystem,
+    coefficients: np.ndarray,
+    n_alpha: int,
+    n_beta: int,
+) -> tuple[float, float]:
+    """UHF <S^2> and the spin-contamination excess over the exact value.
+
+        <S^2> = S_z (S_z + 1) + N_beta - sum_ij |<phi_i^a|S|phi_j^b>|^2
+
+    (occupied alpha x occupied beta orbital overlaps in the working AO
+    metric). Returns (s2, s2 - s2_exact); the excess is the standard
+    contamination diagnostic (0 for a spin-pure determinant, ~1 when a
+    full extra spin state mixes in)."""
+    S = np.asarray(one_electron.overlap(system, jnp.asarray(system.positions)))
+    C = np.asarray(coefficients)
+    Co_a = C[0][:, :n_alpha]
+    Co_b = C[1][:, :n_beta]
+    ov = Co_a.T @ S @ Co_b  # (n_alpha, n_beta)
+    sz = 0.5 * (n_alpha - n_beta)
+    s2 = sz * (sz + 1.0) + n_beta - float((ov**2).sum())
+    return s2, s2 - sz * (sz + 1.0)

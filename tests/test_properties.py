@@ -43,3 +43,34 @@ def test_mulliken_charges_water():
     # oxygen (first atom in water.json) carries the negative charge
     assert q[0] < -0.1
     assert (q[1:] > 0.05).all()
+
+
+def test_spin_expectation_closed_shell_pure():
+    """A closed-shell UHF solution is spin-pure: <S^2> = 0 to ~1e-8."""
+    import qchem_rs_tpu
+    from qchem_rs_tpu.models.properties import spin_expectation
+
+    system = load_reference_system("water", "STO-3G")
+    cfg = qchem_rs_tpu.HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    out = qchem_rs_tpu.unrestricted_hartree_fock(system, cfg)
+    assert out.converged
+    s2, excess = spin_expectation(system, out.coefficients, 5, 5)
+    assert abs(s2) < 1e-8
+    assert abs(excess) < 1e-8
+
+
+def test_spin_expectation_doublet_contamination():
+    """OH radical: <S^2> slightly above the exact 0.75, by a small positive
+    contamination (UHF always overshoots)."""
+    import qchem_rs_tpu
+    from qchem_rs_tpu.models.properties import spin_expectation
+
+    system = load_reference_system("hydroxyl", "STO-3G")
+    cfg = qchem_rs_tpu.HartreeFockConfig(
+        epsilon=1e-9, max_iterations=300, spin_multiplicity=2
+    )
+    out = qchem_rs_tpu.unrestricted_hartree_fock(system, cfg)
+    assert out.converged
+    s2, excess = spin_expectation(system, out.coefficients, 5, 4)
+    assert 0.75 <= s2 < 0.80
+    assert 0.0 <= excess < 0.05
