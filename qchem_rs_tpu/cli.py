@@ -384,6 +384,33 @@ def cmd_fci(args) -> int:
     return 0
 
 
+def cmd_eom(args) -> int:
+    from qchem_rs_tpu.models.eom import HARTREE_TO_EV, eom_ccsd
+
+    system, cfg = _build(args)
+    if cfg.spin_multiplicity == 0:
+        cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
+    start = time.perf_counter()
+    try:
+        res = eom_ccsd(
+            system, cfg, nstates=args.nstates, max_dim=args.max_dim
+        )
+    except (RuntimeError, ValueError) as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    elapsed = time.perf_counter() - start
+    print(
+        f"eom-ccsd finished after {res.cc_iterations} CC iterations and "
+        f"{elapsed:0.2f}s ({res.dimension} of {res.fci_dimension} "
+        f"determinants in the rank<=2 space)"
+    )
+    print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
+    print(f"ccsd total energy: {res.ccsd_total_energy:3.6f}")
+    for i, w in enumerate(res.excitation_energies, start=1):
+        print(f"state {i}: {w:0.6f} Eh  {w * HARTREE_TO_EV:8.4f} eV")
+    return 0
+
+
 def cmd_cis(args) -> int:
     from qchem_rs_tpu.models.cis import HARTREE_TO_EV, cis, ucis
 
@@ -651,6 +678,23 @@ def main(argv=None) -> int:
         "(FCI is invariant; lowdin needs no SCF and works for open shells)",
     )
     p_fci.set_defaults(fn=cmd_fci)
+
+    p_eom = sub.add_parser(
+        "eom",
+        help="EOM-CCSD excitation energies (small-system determinant-space "
+        "tier, closed shells)",
+    )
+    _common_flags(p_eom, uhf=False)
+    p_eom.add_argument(
+        "--nstates", type=int, default=5, help="number of excited states"
+    )
+    p_eom.add_argument(
+        "--max-dim",
+        type=int,
+        default=4000,
+        help="determinant-space cap (same tier as fci)",
+    )
+    p_eom.set_defaults(fn=cmd_eom)
 
     p_cis = sub.add_parser(
         "cis",

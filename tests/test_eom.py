@@ -1,0 +1,60 @@
+"""EOM-CCSD (determinant-space) against FCI, CCSD, and CIS anchors."""
+
+import numpy as np
+import pytest
+
+from qchem_rs_tpu.config import HartreeFockConfig
+from qchem_rs_tpu.models.eom import eom_ccsd
+from qchem_rs_tpu.models.fci import fci
+from tests.helpers import load_reference_system
+
+
+def test_h2_eom_equals_fci_spectrum():
+    """Two electrons: the rank<=2 space IS the full space and CCSD is
+    exact, so every EOM-CCSD excitation equals the FCI gap to ~1e-9."""
+    system = load_reference_system("hydrogen", "6-31G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    res = eom_ccsd(system, config, nstates=5)
+    ref = fci(system, config, nroots=6)
+    assert res.dimension == res.fci_dimension  # full space at 2 electrons
+    gaps = ref.total_energies[1:] - ref.total_energies[0]
+    np.testing.assert_allclose(res.excitation_energies, gaps[:5], atol=1e-9)
+    assert res.ccsd_total_energy == pytest.approx(
+        float(ref.total_energies[0]), abs=1e-9
+    )
+
+
+def test_water_eom_anchors():
+    """Water/STO-3G: <Phi0|Hbar|Phi0> reproduces E_CCSD (validates the
+    T-operator expansion + exp series end to end — the amplitude equations
+    re-emerge as a vanishing Hbar column), and the lowest excitations land
+    within a few mEh of FCI, beating CIS."""
+    from qchem_rs_tpu.models.cc import ccsd
+    from qchem_rs_tpu.models.cis import cis
+
+    system = load_reference_system("water", "STO-3G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    res = eom_ccsd(system, config, nstates=3)
+    cc = ccsd(system, config, cc_epsilon=1e-10, formulation="spinorbital")
+    assert res.ccsd_total_energy == pytest.approx(cc.total_energy(), abs=1e-8)
+    assert res.amplitude_residual < 1e-8
+    assert res.dimension < res.fci_dimension  # genuine truncation here
+
+    ref = fci(system, config, nroots=4)
+    fci_gaps = ref.total_energies[1:] - ref.total_energies[0]
+    # EOM-CCSD within a few mEh of FCI on the lowest roots
+    assert abs(res.excitation_energies[0] - fci_gaps[0]) < 5e-3
+    # and better than CIS (singlet + triplet spectrum union vs FCI gap)
+    ci = cis(system, config, nstates=3, triplet=True)
+    cis_err = abs(ci.excitation_energies[0] - fci_gaps[0])
+    eom_err = abs(res.excitation_energies[0] - fci_gaps[0])
+    assert eom_err < cis_err
+
+
+def test_open_shell_rejected():
+    system = load_reference_system("hydroxyl", "STO-3G")
+    config = HartreeFockConfig(
+        epsilon=1e-9, max_iterations=200, spin_multiplicity=2
+    )
+    with pytest.raises(ValueError, match="closed-shell"):
+        eom_ccsd(system, config)
