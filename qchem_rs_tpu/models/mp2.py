@@ -114,6 +114,7 @@ def mp2_pair_space(
     *,
     frozen: int | str = 0,
     output=None,
+    builder=None,
 ) -> Mp2Output:
     """MP2 through the pair-space ERI matrix — NO n^4 tensor anywhere.
 
@@ -122,6 +123,12 @@ def mp2_pair_space(
     memory is V2f (~3/4 n^4 / 2) + U + the (no*nv)^2 result — the same
     memory envelope that lets fock_mode="pair" run naphthalene/cc-pVDZ on
     one chip (docs/PROFILE_r03.md), now extended to correlation energies.
+
+    ``builder``: an explicit PairSpaceFockBuilder to contract against —
+    pass a PairSpaceShardedFockBuilder to run the transform matmuls over a
+    device mesh (V2f column-sharded, GSPMD inserts the collectives;
+    per-device memory 1/ndev). Defaults to the cached single-device
+    builder.
     """
     from qchem_rs_tpu.models.rhf import _direct_tools, restricted_hartree_fock
 
@@ -138,7 +145,7 @@ def mp2_pair_space(
         # V2f is Cartesian: lift the MO coefficients to the Cartesian AOs
         C = jnp.asarray(system.sph_T) @ C
     eps = jnp.asarray(out.orbital_energies)
-    builder = _direct_tools(system, config, "pair")
+    builder = builder or _direct_tools(system, config, "pair")
     if builder._prepared is not None:
         # SCF ran in pair mode: its (V2f, W) are already resident — reuse
         # V2f instead of paying a second peak-memory tile build + mirror.

@@ -137,3 +137,21 @@ def test_pair_sharded_rhf_energy(water):
     total = float(st.energy) + water.nuclear_repulsion()
     assert bool(st.converged)
     assert abs(total - dense.total_energy()) < 1e-9
+
+
+def test_sharded_pair_mp2_matches_dense(water):
+    """Correlation tier over the mesh: MP2 through a COLUMN-SHARDED V2f
+    (the transform matmuls run under GSPMD with per-device memory 1/ndev)
+    equals the dense in-core MP2 to 1e-9."""
+    from qchem_rs_tpu.models.mp2 import mp2, mp2_pair_space
+    from qchem_rs_tpu.ops.fock_pair import PairSpaceShardedFockBuilder
+
+    cfg = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    dense = mp2(water, cfg)
+    mesh = data_mesh(8, axis="q")
+    builder = PairSpaceShardedFockBuilder(water, mesh, axis="q", threshold=1e-14)
+    V2f, _ = builder.prepare()
+    assert len(V2f.sharding.device_set) == 8
+    sharded = mp2_pair_space(water, cfg, builder=builder)
+    assert abs(sharded.correlation_energy - dense.correlation_energy) < 1e-9
+    assert abs(sharded.scf_total_energy - dense.scf_total_energy) < 1e-9
