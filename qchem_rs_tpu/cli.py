@@ -385,13 +385,36 @@ def cmd_fci(args) -> int:
 
 
 def cmd_eom(args) -> int:
-    from qchem_rs_tpu.models.eom import HARTREE_TO_EV, eom_ccsd
+    from qchem_rs_tpu.models.eom import (
+        HARTREE_TO_EV,
+        ea_eom_ccsd,
+        eom_ccsd,
+        ip_eom_ccsd,
+    )
 
     system, cfg = _build(args)
     if cfg.spin_multiplicity == 0:
         cfg = type(cfg)(**{**cfg.__dict__, "spin_multiplicity": 1})
     start = time.perf_counter()
     try:
+        if args.ip or args.ea:
+            fn = ip_eom_ccsd if args.ip else ea_eom_ccsd
+            res = fn(system, cfg, nstates=args.nstates, max_dim=args.max_dim)
+            elapsed = time.perf_counter() - start
+            label = "ionization potentials" if args.ip else "electron affinities"
+            print(
+                f"{res.kind}-eom-ccsd finished in {elapsed:0.2f}s "
+                f"({res.dimension} determinants)"
+            )
+            print(f"ccsd total energy: {res.ccsd_total_energy:3.6f}")
+            print(
+                f"koopmans estimate: {res.koopmans:0.6f} Eh  "
+                f"{res.koopmans * HARTREE_TO_EV:8.4f} eV"
+            )
+            print(f"{label}:")
+            for i, w in enumerate(res.energies, start=1):
+                print(f"state {i}: {w:0.6f} Eh  {w * HARTREE_TO_EV:8.4f} eV")
+            return 0
         res = eom_ccsd(
             system, cfg, nstates=args.nstates, max_dim=args.max_dim
         )
@@ -693,6 +716,14 @@ def main(argv=None) -> int:
         type=int,
         default=4000,
         help="determinant-space cap (same tier as fci)",
+    )
+    p_eom.add_argument(
+        "--ip", action="store_true",
+        help="ionization potentials (IP-EOM: 1h + 2h1p sector)",
+    )
+    p_eom.add_argument(
+        "--ea", action="store_true",
+        help="electron affinities (EA-EOM: 1p + 2p1h sector)",
     )
     p_eom.set_defaults(fn=cmd_eom)
 

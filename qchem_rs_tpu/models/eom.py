@@ -151,51 +151,125 @@ def _expm_nilpotent(T: np.ndarray, max_power: int = 64) -> np.ndarray:
     raise RuntimeError("exp(T) series did not terminate (T not nilpotent?)")
 
 
-def eom_ccsd(
+@dataclasses.dataclass
+class IpEaOutput:
+    ccsd_total_energy: float
+    energies: np.ndarray  # (nstates,) Hartree: IPs (positive) or EAs
+    kind: str  # "ip" | "ea"
+    dimension: int
+    koopmans: float  # -eps_HOMO (ip) / -eps_LUMO (ea) for comparison
+
+
+def _hbar_sector(ctx, na: int, nb: int):
+    """Similarity-transformed H over the (na, nb)-electron determinant
+    sector, using the N-electron reference's orbitals and amplitudes (T
+    acts in any sector — the operators don't care)."""
+    H, dim = _build_hamiltonian(ctx["h_mo"], ctx["g_mo"], na, nb)
+    n = ctx["n"]
+    sa, sb = _strings(n, na), _strings(n, nb)
+    dets = [a | (b << n) for a in sa for b in sb]
+    index = {m: i for i, m in enumerate(dets)}
+    Tm = _t_matrix(
+        ctx["t1"], ctx["t2"], n, ctx["na"], ctx["nb"], dets, index
+    )
+    Hbar = _expm_nilpotent(-Tm) @ H @ _expm_nilpotent(Tm)
+    return Hbar, dets
+
+
+def ip_eom_ccsd(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
     *,
-    nstates: int = 5,
+    nstates: int = 3,
     max_dim: int = 4000,
     cc_epsilon: float = 1e-10,
-) -> EomOutput:
-    """EOM-CCSD excitation energies on a closed-shell RHF reference."""
+) -> IpEaOutput:
+    """IP-EOM-CCSD: ionization potentials from the (N-1)-electron sector
+    of Hbar, projected onto 1h and 2h1p determinants. Positive energies =
+    energy to remove an electron (alpha channel)."""
+    return _ip_ea(system, config, nstates, max_dim, cc_epsilon, kind="ip")
+
+
+def ea_eom_ccsd(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    nstates: int = 3,
+    max_dim: int = 4000,
+    cc_epsilon: float = 1e-10,
+) -> IpEaOutput:
+    """EA-EOM-CCSD: electron affinities from the (N+1)-electron sector of
+    Hbar, projected onto 1p and 2p1h determinants. Negative values mean
+    the anion is bound."""
+    return _ip_ea(system, config, nstates, max_dim, cc_epsilon, kind="ea")
+
+
+def _ip_ea(system, config, nstates, max_dim, cc_epsilon, kind):
+    ctx = _cc_context(system, config, max_dim, cc_epsilon)
+    na, nb = ctx["na"], ctx["nb"]
+    if kind == "ip":
+        Hbar, dets = _hbar_sector(ctx, na - 1, nb)
+    else:
+        Hbar, dets = _hbar_sector(ctx, na + 1, nb)
+    n = ctx["n"]
+    hf = ctx["hf_mask"]
+    # particles/holes relative to the N-electron HF determinant
+    parts = np.array([bin(m & ~hf).count("1") for m in dets])
+    holes = np.array([bin(hf & ~m).count("1") for m in dets])
+    if kind == "ip":
+        keep = np.where(parts <= 1)[0]  # 1h + 2h1p
+    else:
+        keep = np.where(holes <= 1)[0]  # 1p + 2p1h
+    Hp = Hbar[np.ix_(keep, keep)]
+    e_nuc = float(system.nuclear_repulsion())
+    w = np.sort(np.linalg.eigvals(Hp).real) + e_nuc
+    e_cc = ctx["e_ccsd"]
+    if kind == "ip":
+        vals = w[:nstates] - e_cc  # positive IPs
+        koopmans = -float(ctx["eps"][na - 1])
+    else:
+        vals = w[:nstates] - e_cc  # EA convention: E(N+1) - E(N)
+        koopmans = float(ctx["eps"][na])
+    return IpEaOutput(
+        ccsd_total_energy=e_cc,
+        energies=np.asarray(vals),
+        kind=kind,
+        dimension=len(keep),
+        koopmans=koopmans,
+    )
+
+
+def _cc_context(system, config, max_dim, cc_epsilon):
+    """Shared setup: RHF, spinorbital CCSD amplitudes, MO integrals, and
+    the N-electron reference bookkeeping."""
+    import math
+
     import jax.numpy as jnp
 
     from qchem_rs_tpu.models import scf as scf_mod
-    from qchem_rs_tpu.models.cc import _spinorbital_setup
+    from qchem_rs_tpu.models.cc import _cc_loop, _ccsd_step, _spinorbital_setup
     from qchem_rs_tpu.models.fci import _transform_full
     from qchem_rs_tpu.models.rhf import _incore_tools, restricted_hartree_fock
-    import math
 
     config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
     n_el = system.n_electrons(config.charge)
     na, nb = scf_mod.electron_counts(n_el, config.spin_multiplicity)
     if na != nb:
-        raise ValueError("eom_ccsd requires a closed-shell RHF reference")
-
+        raise ValueError("EOM requires a closed-shell RHF reference")
     out = restricted_hartree_fock(system, config)
     if not out.converged:
         raise RuntimeError("SCF not converged")
     C = jnp.asarray(out.coefficients)
     eps = np.asarray(out.orbital_energies)
     n = C.shape[1]
-    dim = math.comb(n, na) * math.comb(n, nb)
-    if dim > max_dim:
-        raise ValueError(
-            f"determinant space {dim} exceeds max_dim={max_dim}; this is the "
-            "small-system EOM tier"
-        )
+    if math.comb(n, na) * math.comb(n, nb) > max_dim:
+        raise ValueError("determinant space exceeds max_dim")
 
-    # converged spinorbital amplitudes in the _spinorbital_setup index
-    # convention (the driver doesn't return amplitudes; cheap at this tier)
-    from qchem_rs_tpu.models.cc import _cc_loop, _ccsd_step
+    from qchem_rs_tpu.models.rhf import _incore_tools as _it
 
-    _, engine = _incore_tools(system, config)
+    _, engine = _it(system, config)
     e4 = engine.finish_eri(engine.build())
-    W, eps_o, eps_v, no, nv = _spinorbital_setup(
-        e4, C, C, eps, eps, na, nb, 0
-    )
+    W, eps_o, eps_v, no, nv = _spinorbital_setup(e4, C, C, eps, eps, na, nb, 0)
     D2 = (
         eps_o[:, None, None, None]
         + eps_o[None, :, None, None]
@@ -207,30 +281,48 @@ def eom_ccsd(
     t2 = Woovv / D2
     e_mp2 = float(0.25 * jnp.einsum("ijab,ijab->", Woovv, t2))
     step = lambda a, b: _ccsd_step(a, b, eps_o, eps_v, no, W)
-    t1, t2, e_corr, cc_iters, converged = _cc_loop(
+    t1, t2, e_corr, iters, converged = _cc_loop(
         step, t1, t2, e_mp2, 200, cc_epsilon
     )
     if not converged:
         raise RuntimeError("CCSD amplitudes not converged")
 
-    # determinant-space H (FCI machinery) and T
-    g_mo = np.asarray(_transform_full(e4, C))
-    pos = jnp.asarray(system.positions)
     ones, _ = _incore_tools(system, config)
+    pos = jnp.asarray(system.positions)
     h_mo = np.asarray(C.T @ (ones["T"](pos) + ones["V"](pos)) @ C)
-    H, dim = _build_hamiltonian(h_mo, g_mo, na, nb)
+    g_mo = np.asarray(_transform_full(e4, C))
+    hf_a = (1 << na) - 1
+    hf_b = (1 << nb) - 1
+    return {
+        "n": n,
+        "na": na,
+        "nb": nb,
+        "eps": eps,
+        "h_mo": h_mo,
+        "g_mo": g_mo,
+        "t1": t1,
+        "t2": t2,
+        "cc_iters": iters,
+        "e_ccsd": out.total_energy() + e_corr,
+        "hf_mask": hf_a | (hf_b << n),
+        "scf_total_energy": out.total_energy(),
+    }
 
-    sa, sb = _strings(n, na), _strings(n, nb)
-    dets = [a | (b << n) for a in sa for b in sb]
-    index = {m: i for i, m in enumerate(dets)}
-    Tm = _t_matrix(t1, t2, n, na, nb, dets, index)
 
-    expT = _expm_nilpotent(Tm)
-    expmT = _expm_nilpotent(-Tm)
-    Hbar = expmT @ H @ expT
-
-    # rank <= 2 projector relative to the HF determinant (index 0)
-    hf = dets[0]
+def eom_ccsd(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    nstates: int = 5,
+    max_dim: int = 4000,
+    cc_epsilon: float = 1e-10,
+) -> EomOutput:
+    """EOM-CCSD excitation energies on a closed-shell RHF reference."""
+    ctx = _cc_context(system, config, max_dim, cc_epsilon)
+    na, nb = ctx["na"], ctx["nb"]
+    Hbar, dets = _hbar_sector(ctx, na, nb)
+    hf = ctx["hf_mask"]
+    assert dets[0] == hf  # lexicographic strings put the HF det first
     ranks = np.array([bin(m ^ hf).count("1") // 2 for m in dets])
     keep = np.where(ranks <= 2)[0]
     Hp = Hbar[np.ix_(keep, keep)]
@@ -244,11 +336,11 @@ def eom_ccsd(
     omega = w[1:] - w[0]
     k = min(nstates, omega.shape[0])
     return EomOutput(
-        scf_total_energy=out.total_energy(),
+        scf_total_energy=ctx["scf_total_energy"],
         ccsd_total_energy=float(e0),
         excitation_energies=omega[:k],
         dimension=len(keep),
-        fci_dimension=dim,
-        cc_iterations=cc_iters,
+        fci_dimension=len(dets),
+        cc_iterations=ctx["cc_iters"],
         amplitude_residual=residual,
     )

@@ -58,3 +58,65 @@ def test_open_shell_rejected():
     )
     with pytest.raises(ValueError, match="closed-shell"):
         eom_ccsd(system, config)
+
+
+def test_h2_ip_exact():
+    """H2 IP channel: the (N-1) sector is one electron, where the
+    projected space is complete and the cation energy is just the lowest
+    eigenvalue of h_MO + E_nuc — IP-EOM must hit it exactly."""
+    import jax.numpy as jnp
+
+    from qchem_rs_tpu.models.cc import ccsd
+    from qchem_rs_tpu.models.eom import ip_eom_ccsd
+    from qchem_rs_tpu.models.rhf import _incore_tools, restricted_hartree_fock
+
+    system = load_reference_system("hydrogen", "6-31G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    res = ip_eom_ccsd(system, config, nstates=2)
+    out = restricted_hartree_fock(system, config)
+    C = jnp.asarray(out.coefficients)
+    ones, _ = _incore_tools(system, config)
+    pos = jnp.asarray(system.positions)
+    h_mo = np.asarray(C.T @ (ones["T"](pos) + ones["V"](pos)) @ C)
+    e_ion = float(np.linalg.eigvalsh(h_mo)[0]) + float(system.nuclear_repulsion())
+    cc = ccsd(system, config, cc_epsilon=1e-10)
+    ip_exact = e_ion - cc.total_energy()
+    assert res.energies[0] == pytest.approx(ip_exact, abs=1e-8)
+    assert res.ccsd_total_energy == pytest.approx(cc.total_energy(), abs=1e-8)
+    assert res.energies[0] > 0.5  # H2 IP ~ 0.6 Eh
+
+
+def test_water_ip_ea_vs_fci():
+    """Water/STO-3G: IP/EA-EOM-CCSD within 10 mEh of the exact (FCI)
+    electron-removal/attachment energies; Koopmans is the worse estimate
+    for the IP."""
+    from qchem_rs_tpu.models.eom import ea_eom_ccsd, ip_eom_ccsd
+
+    system = load_reference_system("water", "STO-3G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    neutral = fci(system, config)
+    cation = fci(
+        system,
+        HartreeFockConfig(
+            epsilon=1e-10, max_iterations=100, charge=1, spin_multiplicity=2
+        ),
+        orbitals="lowdin",
+    )
+    anion = fci(
+        system,
+        HartreeFockConfig(
+            epsilon=1e-10, max_iterations=100, charge=-1, spin_multiplicity=2
+        ),
+        orbitals="lowdin",
+    )
+    ip_exact = cation.total_energy() - neutral.total_energy()
+    ea_exact = anion.total_energy() - neutral.total_energy()
+
+    ip = ip_eom_ccsd(system, config, nstates=2)
+    ea = ea_eom_ccsd(system, config, nstates=2)
+    assert abs(ip.energies[0] - ip_exact) < 1e-2
+    assert abs(ea.energies[0] - ea_exact) < 1e-2
+    # EOM beats Koopmans for the first IP
+    assert abs(ip.energies[0] - ip_exact) < abs(ip.koopmans - ip_exact)
+    # STO-3G water anion is unbound: attachment costs energy
+    assert ea.energies[0] > 0
