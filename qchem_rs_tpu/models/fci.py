@@ -260,7 +260,6 @@ def fci(
     """
     from qchem_rs_tpu.models import scf as scf_mod
     from qchem_rs_tpu.models.rhf import _incore_tools, restricted_hartree_fock
-    from qchem_rs_tpu.ops import one_electron
 
     config = config or HartreeFockConfig(epsilon=1e-10, max_iterations=200)
     n_el = system.n_electrons(config.charge)

@@ -18,7 +18,7 @@ thermodynamic identities (G = H - T S, H = U + RT).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
