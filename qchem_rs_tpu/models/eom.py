@@ -265,9 +265,7 @@ def _cc_context(system, config, max_dim, cc_epsilon):
     if math.comb(n, na) * math.comb(n, nb) > max_dim:
         raise ValueError("determinant space exceeds max_dim")
 
-    from qchem_rs_tpu.models.rhf import _incore_tools as _it
-
-    _, engine = _it(system, config)
+    _, engine = _incore_tools(system, config)
     e4 = engine.finish_eri(engine.build())
     W, eps_o, eps_v, no, nv = _spinorbital_setup(e4, C, C, eps, eps, na, nb, 0)
     D2 = (

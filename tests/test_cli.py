@@ -161,7 +161,9 @@ def test_ccsd_subcommand(capsys):
     assert rc == 0
     assert "ccsd converged after" in out
     assert "ccsd correlation energy:" in out
-    assert "(t) correction: 0.000000" in out  # exactly zero for 2 electrons
+    # exactly zero for 2 electrons (may format as -0.000000)
+    tline = [l for l in out.splitlines() if l.startswith("(t) correction:")][0]
+    assert abs(float(tline.split(":")[1])) < 1e-9
     assert "ccsd total energy:" in out
 
 
@@ -180,3 +182,53 @@ def test_fci_subcommand(capsys):
     assert "fci solved: 4 determinants" in out
     assert "fci correlation energy:" in out
     assert "fci root 1 total energy:" in out
+
+
+def test_eom_subcommand(capsys):
+    rc = cli.main(
+        [
+            "eom",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--nstates", "2",
+            "--epsilon", "1e-9",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "eom-ccsd finished" in out
+    assert "ccsd total energy:" in out
+    assert "state 1:" in out and "eV" in out
+
+
+def test_eom_ip_subcommand(capsys):
+    rc = cli.main(
+        [
+            "eom",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--ip", "--nstates", "1",
+            "--epsilon", "1e-9",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ionization potentials:" in out
+    assert "koopmans estimate:" in out
+
+
+def test_frequencies_thermo_flag(capsys):
+    rc = cli.main(
+        [
+            "frequencies",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--thermo", "--symmetry-number", "2",
+            "--epsilon", "1e-9",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "thermochemistry (RRHO" in out
+    assert "zero-point energy:" in out
+    assert "entropy:" in out
