@@ -313,11 +313,41 @@ def _ucis_blocks(system, config, C, nocc):
     return ovov, oovv, ovov_ab
 
 
+def _ucis_matvec(ovov, oovv, ovov_ab, diag_a, diag_b, dims):
+    """Batched UCIS sigma vectors over the concatenated [alpha | beta]
+    single-excitation vector (Davidson path; Ms-conserving blocks)."""
+    (no_a, nv_a), (no_b, nv_b) = dims
+    na_dim = no_a * nv_a
+
+    @jax.jit
+    def mv(X):  # (m, na_dim + nb_dim)
+        Xa = X[:, :na_dim].reshape(-1, no_a, nv_a)
+        Xb = X[:, na_dim:].reshape(-1, no_b, nv_b)
+        ya = (
+            Xa * diag_a[None]
+            + jnp.einsum("iajb,njb->nia", ovov[0], Xa)
+            - jnp.einsum("ijab,njb->nia", oovv[0], Xa)
+            + jnp.einsum("iajb,njb->nia", ovov_ab, Xb)
+        )
+        yb = (
+            Xb * diag_b[None]
+            + jnp.einsum("iajb,njb->nia", ovov[1], Xb)
+            - jnp.einsum("ijab,njb->nia", oovv[1], Xb)
+            + jnp.einsum("iajb,nia->njb", ovov_ab, Xa)
+        )
+        return jnp.concatenate(
+            [ya.reshape(X.shape[0], -1), yb.reshape(X.shape[0], -1)], axis=1
+        )
+
+    return mv
+
+
 def ucis(
     system: MolecularSystem,
     config: Optional[HartreeFockConfig] = None,
     *,
     nstates: int = 5,
+    solver: str = "auto",
     output=None,
 ) -> CisOutput:
     """Spin-orbital CIS on a UHF reference (open shells; Ms-conserving
@@ -328,7 +358,9 @@ def ucis(
 
     On a closed-shell reference the spectrum is exactly the union of the
     singlet and triplet restricted CIS spectra (the Ms=0 triplet component)
-    — pinned as the oracle in tests/test_cis.py."""
+    — pinned as the oracle in tests/test_cis.py. ``solver`` mirrors cis():
+    "davidson" iterates the lowest states with implicit sigma vectors
+    (auto past a total single-excitation dimension of 4096)."""
     from qchem_rs_tpu.models import scf as scf_mod
     from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock
 
@@ -352,19 +384,36 @@ def ucis(
     if any(no == 0 or nv == 0 for no, nv in dims):
         raise ValueError("UCIS needs occupied and virtual orbitals in both spins")
 
+    if solver not in ("auto", "dense", "davidson"):
+        raise ValueError(f"unknown solver={solver!r}")
+    total_dim = sum(no * nv for no, nv in dims)
+    use_dav = solver == "davidson" or (solver == "auto" and total_dim > 4096)
+
     ovov, oovv, ovov_ab = _ucis_blocks(system, config, C, nocc)
-    blocks = []
-    for s in range(2):
-        no, nv = dims[s]
-        diag = (eps[s][nocc[s] :][None, :] - eps[s][: nocc[s]][:, None]).reshape(-1)
-        Ass = (ovov[s] - oovv[s].transpose(0, 2, 1, 3)).reshape(
-            no * nv, no * nv
-        ) + jnp.diag(diag)
-        blocks.append(Ass)
-    Aab = ovov_ab.reshape(dims[0][0] * dims[0][1], dims[1][0] * dims[1][1])
-    A = jnp.block([[blocks[0], Aab], [Aab.T, blocks[1]]])
-    omega_arr, X = _cis_solve(A)
-    omega = np.asarray(omega_arr)
+    diag2 = [
+        eps[s][nocc[s] :][None, :] - eps[s][: nocc[s]][:, None] for s in range(2)
+    ]
+    if use_dav:
+        matvec = _ucis_matvec(ovov, oovv, ovov_ab, diag2[0], diag2[1], dims)
+        diag_flat = np.concatenate(
+            [np.asarray(diag2[0]).reshape(-1), np.asarray(diag2[1]).reshape(-1)]
+        )
+        omega, X, ok = _davidson_sym_lowest(matvec, diag_flat, nstates, tol=1e-7)
+        if not ok:
+            raise RuntimeError("Davidson iteration did not converge")
+        X = jnp.asarray(X)
+    else:
+        blocks = []
+        for s in range(2):
+            no, nv = dims[s]
+            Ass = (ovov[s] - oovv[s].transpose(0, 2, 1, 3)).reshape(
+                no * nv, no * nv
+            ) + jnp.diag(diag2[s].reshape(-1))
+            blocks.append(Ass)
+        Aab = ovov_ab.reshape(dims[0][0] * dims[0][1], dims[1][0] * dims[1][1])
+        A = jnp.block([[blocks[0], Aab], [Aab.T, blocks[1]]])
+        omega_arr, X = _cis_solve(A)
+        omega = np.asarray(omega_arr)
 
     from qchem_rs_tpu.ops import one_electron
 

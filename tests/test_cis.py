@@ -183,3 +183,22 @@ def test_davidson_rejects_tdhf():
     cfg = HartreeFockConfig(epsilon=1e-9, max_iterations=50)
     with pytest.raises(ValueError, match="davidson"):
         cis(system, cfg, tdhf=True, solver="davidson")
+
+
+def test_ucis_davidson_matches_dense():
+    """Open-shell Davidson (concatenated alpha|beta sigma vectors) equals
+    the dense UCIS eigensolve on the OH radical."""
+    from qchem_rs_tpu.models.cis import ucis
+
+    system = _load("hydroxyl", "STO-3G")
+    cfg = HartreeFockConfig(
+        epsilon=1e-9, max_iterations=300, spin_multiplicity=2
+    )
+    dense = ucis(system, cfg, nstates=4, solver="dense")
+    dav = ucis(system, cfg, nstates=4, solver="davidson")
+    np.testing.assert_allclose(
+        dav.excitation_energies, dense.excitation_energies, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        dav.oscillator_strengths, dense.oscillator_strengths, atol=1e-6
+    )
