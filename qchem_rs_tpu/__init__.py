@@ -43,6 +43,7 @@ if _platforms:
 def _host_fingerprint() -> str:
     import hashlib
     import platform
+    import re
 
     parts = [platform.machine(), jax.__version__]
     try:
@@ -53,7 +54,22 @@ def _host_fingerprint() -> str:
                     break
     except OSError:
         parts.append(platform.processor() or "unknown")
-    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+    fp = hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+    # Separate cache namespaces per device topology: an 8-virtual-device
+    # pytest session (conftest sets xla_force_host_platform_device_count)
+    # and a single-device CLI process must not share executables — two
+    # crashes inside the cache-entry deserializer (SIGSEGV, then SIGABRT
+    # after the atomic-write/locking hardening) both happened while the two
+    # topologies ran concurrently against one directory. Parsed from the
+    # env (NOT jax.devices(): that would initialize the backend at import,
+    # which hangs when the TPU tunnel is wedged).
+    m = re.search(
+        r"xla_force_host_platform_device_count=(\d+)",
+        os.environ.get("XLA_FLAGS", ""),
+    )
+    if m and m.group(1) != "1":
+        fp += f"-v{m.group(1)}"
+    return fp
 
 
 _cache_dir = os.environ.get("QCHEM_COMPILE_CACHE") or os.path.expanduser(
