@@ -415,18 +415,34 @@ def cmd_eom(args) -> int:
             for i, w in enumerate(res.energies, start=1):
                 print(f"state {i}: {w:0.6f} Eh  {w * HARTREE_TO_EV:8.4f} eV")
             return 0
-        res = eom_ccsd(
-            system, cfg, nstates=args.nstates, max_dim=args.max_dim
-        )
+        if args.matrix_free:
+            from qchem_rs_tpu.models.eom import eom_ccsd_davidson
+
+            res = eom_ccsd_davidson(
+                system, cfg,
+                nstates=args.nstates,
+                formulation=args.formulation,
+            )
+        else:
+            res = eom_ccsd(
+                system, cfg, nstates=args.nstates, max_dim=args.max_dim
+            )
     except (RuntimeError, ValueError) as e:
         print(str(e), file=sys.stderr)
         return 1
     elapsed = time.perf_counter() - start
-    print(
-        f"eom-ccsd finished after {res.cc_iterations} CC iterations and "
-        f"{elapsed:0.2f}s ({res.dimension} of {res.fci_dimension} "
-        f"determinants in the rank<=2 space)"
-    )
+    if args.matrix_free:
+        print(
+            f"eom-ccsd (matrix-free {args.formulation}) finished after "
+            f"{res.cc_iterations} CC iterations and {elapsed:0.2f}s "
+            f"(amplitude space {res.dimension})"
+        )
+    else:
+        print(
+            f"eom-ccsd finished after {res.cc_iterations} CC iterations and "
+            f"{elapsed:0.2f}s ({res.dimension} of {res.fci_dimension} "
+            f"determinants in the rank<=2 space)"
+        )
     print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
     print(f"ccsd total energy: {res.ccsd_total_energy:3.6f}")
     for i, w in enumerate(res.excitation_energies, start=1):
@@ -724,6 +740,18 @@ def main(argv=None) -> int:
     p_eom.add_argument(
         "--ea", action="store_true",
         help="electron affinities (EA-EOM: 1p + 2p1h sector)",
+    )
+    p_eom.add_argument(
+        "--matrix-free", action="store_true",
+        help="production tier: Davidson over jvp sigma vectors (no "
+        "determinant space; scales with ground-state CCSD)",
+    )
+    p_eom.add_argument(
+        "--formulation",
+        choices=("spinorbital", "spatial"),
+        default="spinorbital",
+        help="matrix-free sigma path: spinorbital (all Ms=0 roots) or the "
+        "spatial fast path (singlet roots only)",
     )
     p_eom.set_defaults(fn=cmd_eom)
 

@@ -120,3 +120,32 @@ def test_water_ip_ea_vs_fci():
     assert abs(ip.energies[0] - ip_exact) < abs(ip.koopmans - ip_exact)
     # STO-3G water anion is unbound: attachment costs energy
     assert ea.energies[0] > 0
+
+
+def test_matrix_free_eom_matches_determinant_space():
+    """Production EOM (Davidson over jvp sigma vectors — zero transcribed
+    diagrams) reproduces the exact determinant-space roots: spinorbital
+    finds all Ms=0 roots, spatial finds the singlet subset."""
+    from qchem_rs_tpu.models.eom import eom_ccsd_davidson
+
+    system = load_reference_system("water", "STO-3G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    ref = eom_ccsd(system, config, nstates=6, cc_epsilon=1e-11)
+    mf = eom_ccsd_davidson(
+        system, config, nstates=4, tol=1e-7, cc_epsilon=1e-11
+    )
+    np.testing.assert_allclose(
+        mf.excitation_energies,
+        ref.excitation_energies[:4],
+        atol=1e-6,
+    )
+    # spatial formulation: singlet roots only, each present in the full set
+    sp = eom_ccsd_davidson(
+        system, config, nstates=2, formulation="spatial",
+        tol=1e-7, cc_epsilon=1e-11,
+    )
+    for w in sp.excitation_energies:
+        assert np.min(np.abs(ref.excitation_energies - w)) < 1e-6
+    # the lowest root of water CIS-like spectra is a triplet: the spatial
+    # (singlet-only) lowest root must lie ABOVE the spinorbital lowest
+    assert sp.excitation_energies[0] > mf.excitation_energies[0] - 1e-8
