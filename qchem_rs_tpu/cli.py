@@ -349,6 +349,19 @@ def cmd_ccsd(args) -> int:
     if res.triples_correction is not None:
         print(f"(t) correction: {res.triples_correction:3.6f}")
     print(f"{kind} total energy: {res.total_energy():3.6f}")
+    if getattr(args, "dipole", False) and not open_shell:
+        import numpy as np
+
+        from qchem_rs_tpu.models.cc_lambda import ccsd_dipole
+
+        p = ccsd_dipole(system, cfg, cc_epsilon=args.cc_epsilon)
+        d = float(np.linalg.norm(p.ccsd_dipole))
+        ds = float(np.linalg.norm(p.scf_dipole))
+        print(
+            f"ccsd dipole (unrelaxed, a.u.): [{p.ccsd_dipole[0]: .6f}, "
+            f"{p.ccsd_dipole[1]: .6f}, {p.ccsd_dipole[2]: .6f}]  "
+            f"|mu| = {d:.6f} (scf {ds:.6f})"
+        )
     return 0
 
 
@@ -692,6 +705,8 @@ def main(argv=None) -> int:
         default=1e-8,
         help="amplitude RMS / |dE| convergence threshold",
     )
+    # (--dipole is inherited from _common_flags; on ccsd it reports the
+    # unrelaxed CC dipole via the AD Lagrangian instead of the SCF one)
     p_cc.set_defaults(fn=cmd_ccsd)
 
     p_fci = sub.add_parser(

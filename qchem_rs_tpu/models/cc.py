@@ -133,8 +133,16 @@ def _spinorbital_setup(e4, C_a, C_b, eps_a, eps_b, na, nb, nfz):
 
 
 @partial(jax.jit, static_argnums=(4,))
-def _ccsd_step(t1, t2, eps_o, eps_v, no, W):
-    """One CCSD update: (t1, t2) -> (t1', t2', E_corr')."""
+def _ccsd_step(t1, t2, eps_o, eps_v, no, W, f=None):
+    """One CCSD update: (t1, t2) -> (t1', t2', E_corr').
+
+    ``f`` (optional) = (foo, fov, fvv): a general one-electron MO operator
+    added on top of the canonical diagonal — the SGWB equations keep eps in
+    the denominators and carry the rest linearly through the F
+    intermediates, which is exact for any split f = diag(eps) + R. Used by
+    the properties tier (models/cc_lambda.py): perturbed Hamiltonians at
+    FIXED orbitals. Anchor: with random f, 2-electron CCSD still equals
+    FCI of the perturbed integrals (tests/test_cc_lambda.py)."""
     o, v = slice(0, no), slice(no, None)
     Woooo = W[o, o, o, o]
     Wooov = W[o, o, o, v]
@@ -170,6 +178,11 @@ def _ccsd_step(t1, t2, eps_o, eps_v, no, W):
         "inef,mnef->mi", tau_t, Woovv
     )
     Fme = jnp.einsum("nf,mnef->me", t1, Woovv)
+    if f is not None:
+        foo, fov, fvv = f
+        Fae = Fae + fvv - 0.5 * jnp.einsum("ma,me->ae", t1, fov)
+        Fmi = Fmi + foo + 0.5 * jnp.einsum("ie,me->mi", t1, fov)
+        Fme = Fme + fov
 
     Wmnij = (
         Woooo
@@ -201,6 +214,8 @@ def _ccsd_step(t1, t2, eps_o, eps_v, no, W):
         - 0.5 * jnp.einsum("imef,maef->ia", t2, Wovvv)
         - 0.5 * jnp.einsum("mnae,nmei->ia", t2, Woovo)
     )
+    if f is not None:
+        rhs1 = rhs1 + fov
     t1_new = rhs1 / D1
 
     # ---- T2 ----------------------------------------------------------------
@@ -222,6 +237,8 @@ def _ccsd_step(t1, t2, eps_o, eps_v, no, W):
     energy = 0.25 * jnp.einsum("ijab,ijab->", Woovv, t2_new) + 0.5 * jnp.einsum(
         "ijab,ia,jb->", Woovv, t1_new, t1_new
     )
+    if f is not None:
+        energy = energy + jnp.einsum("ia,ia->", fov, t1_new)
     return t1_new, t2_new, energy
 
 
