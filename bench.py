@@ -246,10 +246,25 @@ def run_configs(configs):
     # QCHEM_BENCH_METRIC/QCHEM_BENCH_EPS select the stopping rule; once the
     # on-device diis_err calibration (tools/calibrate_diis_err.py) picks the
     # epsilon equivalent to 1e-8 Eh, run with QCHEM_BENCH_METRIC=diis_err.
+    metric = os.environ.get("QCHEM_BENCH_METRIC")
+    eps = os.environ.get("QCHEM_BENCH_EPS")
+    if metric is None and eps is None:
+        # per-backend calibrated stopping rule (tools/calibrate_diis_err.py
+        # writes it when the diis_err rung equivalent to 1e-8 Eh beats the
+        # diag_rms baseline on that backend)
+        import jax
+
+        try:
+            with open(os.path.join(ROOT, "data", "calibration.json")) as f:
+                cal = json.load(f).get(jax.default_backend())
+            if cal:
+                metric, eps = cal["metric"], cal["epsilon"]
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            pass
     cfg = HartreeFockConfig(
-        epsilon=float(os.environ.get("QCHEM_BENCH_EPS", 1e-8)),
+        epsilon=float(eps if eps is not None else 1e-8),
         max_iterations=150,
-        convergence_metric=os.environ.get("QCHEM_BENCH_METRIC", "diag_rms"),
+        convergence_metric=metric or "diag_rms",
     )
     for mol, basis_path, tag, default_budget in configs:
       budget = float(os.environ.get("QCHEM_BENCH_BUDGET", default_budget))
@@ -309,6 +324,7 @@ def run_configs(configs):
                 "unit": "s",
                 "vs_baseline": round(REFERENCE_PROFILED_RUN_S / warm, 2),
                 "kernel": _kernel_mode(),
+                "stop_metric": f"{cfg.convergence_metric}@{cfg.epsilon:g}",
                 "backend": jax.default_backend(),
                 "cold_s": round(cold, 3),
                 "total_energy_hartree": round(out2.total_energy(), 8),

@@ -155,3 +155,79 @@ def test_sharded_pair_mp2_matches_dense(water):
     sharded = mp2_pair_space(water, cfg, builder=builder)
     assert abs(sharded.correlation_energy - dense.correlation_energy) < 1e-9
     assert abs(sharded.scf_total_energy - dense.scf_total_energy) < 1e-9
+
+
+def test_column_sharded_v2_build_matches_dense(water):
+    """The build-sharded pair builder (no (M, M) anywhere): J/K equal the
+    dense contraction on the toy system, and every device slab is 1/8."""
+    from qchem_rs_tpu.parallel.v2_sharded import ColumnShardedPairFockBuilder
+
+    n = water.n_basis()
+    rng = np.random.default_rng(4)
+    D = rng.standard_normal((n, n))
+    D = D + D.T
+    E = np.asarray(eri(water))
+    Jd = np.einsum("ijkl,kl->ij", E, D)
+    Kd = np.einsum("ijkl,jl->ik", E, D)
+    mesh = data_mesh(8, axis="q")
+    b = ColumnShardedPairFockBuilder(water, mesh, axis="q", threshold=1e-14)
+    V2f, W = b.prepare()
+    assert len(V2f.sharding.device_set) == 8
+    assert len(W.sharding.device_set) == 8
+    # per-device slab is (M, Mcap): the build never held (M, M)
+    assert V2f.shape == (b.M, 8 * b.Mcap)
+    J, K = b.jk(D)
+    np.testing.assert_allclose(np.asarray(J), Jd, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(K), Kd, atol=1e-10)
+
+
+def test_column_sharded_v2_beyond_toy():
+    """Ethylene/6-31G*: d shells, real Schwarz screening, both tile
+    orientations exercised through the ordered class-pair task grid."""
+    from qchem_rs_tpu.parallel.v2_sharded import ColumnShardedPairFockBuilder
+
+    system = load_reference_system("ethylene", "6-31G_st")
+    n = system.n_basis()
+    rng = np.random.default_rng(5)
+    D = rng.standard_normal((n, n))
+    D = D + D.T
+    E = np.asarray(eri(system))
+    Jd = np.einsum("ijkl,kl->ij", E, D)
+    Kd = np.einsum("ikjl,kl->ij", E, D)
+    scale = max(np.abs(Jd).max(), np.abs(Kd).max())
+    mesh = data_mesh(8, axis="q")
+    b = ColumnShardedPairFockBuilder(system, mesh, axis="q", threshold=1e-12)
+    J, K = b.jk(D)
+    assert np.abs(np.asarray(J) - Jd).max() / scale < 1e-10
+    assert np.abs(np.asarray(K) - Kd).max() / scale < 1e-10
+
+
+def test_column_sharded_rhf_energy(water):
+    """Full RHF through the build-sharded builder reaches the dense energy
+    (the traceable jk_sph form under jit, matvecs + psum on the mesh)."""
+    import jax.numpy as jnp
+    from qchem_rs_tpu.models.rhf import _rhf_scf_direct
+    from qchem_rs_tpu.models import scf
+    from qchem_rs_tpu.ops import one_electron
+    from qchem_rs_tpu.parallel.v2_sharded import ColumnShardedPairFockBuilder
+
+    cfg = HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    dense = restricted_hartree_fock(water, cfg)
+
+    mesh = data_mesh(8, axis="q")
+    builder = ColumnShardedPairFockBuilder(water, mesh, axis="q", threshold=1e-14)
+    V2f, W = builder.prepare()
+    pos = jnp.asarray(water.positions)
+    S = one_electron.overlap(water, pos)
+    H = one_electron.kinetic(water, pos) + one_electron.nuclear(water, pos)
+    X = scf.lowdin_x(S)
+    nocc = water.n_electrons(0) // 2
+
+    def run(H, X, S, V2f, W):
+        jk = lambda D: builder.jk_sph(D, V2f, W)
+        return _rhf_scf_direct(H, X, S, nocc, cfg, jk)
+
+    st = jax.jit(run)(H, X, S, V2f, W)
+    total = float(st.energy) + water.nuclear_repulsion()
+    assert bool(st.converged)
+    assert abs(total - dense.total_energy()) < 1e-9

@@ -94,6 +94,28 @@ def main():
         "recommended": best,
     }), flush=True)
 
+    # persist per-backend so bench.py defaults to the calibrated rule
+    # (only when it actually beats the diag_rms baseline's iteration count)
+    if best is not None and best["iterations"] <= ref_diag.iterations:
+        import jax
+
+        path = os.path.join(ROOT, "data", "calibration.json")
+        try:
+            with open(path) as f:
+                cal = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            cal = {}
+        cal[jax.default_backend()] = {
+            "metric": "diis_err",
+            "epsilon": best["epsilon"],
+            "config": f"{mol}/{basis_name}",
+            "iterations": best["iterations"],
+            "diag_rms_iterations": ref_diag.iterations,
+        }
+        with open(path, "w") as f:
+            json.dump(cal, f, indent=1)
+        print(json.dumps({"calibration_written": path}), flush=True)
+
 
 if __name__ == "__main__":
     main()
