@@ -428,6 +428,33 @@ def cmd_eom(args) -> int:
             for i, w in enumerate(res.energies, start=1):
                 print(f"state {i}: {w:0.6f} Eh  {w * HARTREE_TO_EV:8.4f} eV")
             return 0
+        if args.oscillator_strengths:
+            from qchem_rs_tpu.models.eom import eom_ccsd_properties
+
+            res = eom_ccsd_properties(
+                system, cfg, nstates=args.nstates, max_dim=args.max_dim
+            )
+            elapsed = time.perf_counter() - start
+            print(
+                f"eom-ccsd properties finished in {elapsed:0.2f}s "
+                f"({res.dimension} determinants)"
+            )
+            print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
+            print(f"ccsd total energy: {res.ccsd_total_energy:3.6f}")
+            gs = res.ground_state_dipole
+            print(
+                "ccsd dipole moment (a.u.): "
+                f"[{gs[0]:0.6f}, {gs[1]:0.6f}, {gs[2]:0.6f}]"
+            )
+            for i, (w, f) in enumerate(
+                zip(res.excitation_energies, res.oscillator_strengths),
+                start=1,
+            ):
+                print(
+                    f"state {i}: {w:0.6f} Eh  {w * HARTREE_TO_EV:8.4f} eV  "
+                    f"f = {f:0.6f}"
+                )
+            return 0
         if args.matrix_free:
             from qchem_rs_tpu.models.eom import eom_ccsd_davidson
 
@@ -755,6 +782,11 @@ def main(argv=None) -> int:
     p_eom.add_argument(
         "--ea", action="store_true",
         help="electron affinities (EA-EOM: 1p + 2p1h sector)",
+    )
+    p_eom.add_argument(
+        "--oscillator-strengths", action="store_true",
+        help="biorthogonal transition dipoles and length-gauge oscillator "
+        "strengths plus the CCSD ground-state dipole (determinant tier)",
     )
     p_eom.add_argument(
         "--matrix-free", action="store_true",

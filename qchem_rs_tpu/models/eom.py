@@ -53,6 +53,10 @@ class EomOutput:
     #: evaluated through the determinant machinery; ~cc_epsilon when both
     #: the amplitudes and the T-operator expansion are right
     amplitude_residual: float
+    #: left (vjp) spectrum when solved (eom_ccsd_davidson(left=True));
+    #: must equal excitation_energies — Hbar has one spectrum, two
+    #: eigenbases
+    left_excitation_energies: Optional[np.ndarray] = None
 
     def excitation_energies_ev(self) -> np.ndarray:
         return self.excitation_energies * HARTREE_TO_EV
@@ -160,7 +164,7 @@ class IpEaOutput:
     koopmans: float  # -eps_HOMO (ip) / -eps_LUMO (ea) for comparison
 
 
-def _hbar_sector(ctx, na: int, nb: int):
+def _hbar_sector(ctx, na: int, nb: int, return_transforms: bool = False):
     """Similarity-transformed H over the (na, nb)-electron determinant
     sector, using the N-electron reference's orbitals and amplitudes (T
     acts in any sector — the operators don't care)."""
@@ -172,8 +176,33 @@ def _hbar_sector(ctx, na: int, nb: int):
     Tm = _t_matrix(
         ctx["t1"], ctx["t2"], n, ctx["na"], ctx["nb"], dets, index
     )
-    Hbar = _expm_nilpotent(-Tm) @ H @ _expm_nilpotent(Tm)
+    Xi, X = _expm_nilpotent(-Tm), _expm_nilpotent(Tm)
+    Hbar = Xi @ H @ X
+    if return_transforms:
+        return Hbar, dets, index, Xi, X
     return Hbar, dets
+
+
+def _one_body_matrix(op_mo: np.ndarray, n: int, dets, index) -> np.ndarray:
+    """Dense determinant-basis matrix of the spin-free one-body operator
+    sum_pq op[p,q] (a+_pa a_qa + a+_pb a_qb); spatial-orbital MO matrix in,
+    alpha bits [0, n), beta bits [n, 2n)."""
+    dim = len(dets)
+    M = np.zeros((dim, dim))
+    pq = list(zip(*np.nonzero(np.abs(op_mo) > 1e-14)))
+    for col, mask in enumerate(dets):
+        for p, q in pq:
+            for off in (0, n):
+                r = _annihilate(mask, q + off)
+                if r is None:
+                    continue
+                s1, m1 = r
+                r = _create(m1, p + off)
+                if r is None:
+                    continue
+                s2, m2 = r
+                M[index[m2], col] += s1 * s2 * op_mo[p, q]
+    return M
 
 
 def ip_eom_ccsd(
@@ -295,6 +324,7 @@ def _cc_context(system, config, max_dim, cc_epsilon):
         "n": n,
         "na": na,
         "nb": nb,
+        "C": np.asarray(C),
         "eps": eps,
         "h_mo": h_mo,
         "g_mo": g_mo,
@@ -387,7 +417,10 @@ def _davidson_nonsym_lowest(
     for _ in range(max_iter):
         T = V.T @ AV
         w_all, S_all = np.linalg.eig(T)
-        sel = np.argsort(w_all.real)[:k]
+        # the projected start basis can hold fewer than k independent
+        # columns in early iterations — work with what exists
+        kk = min(k, w_all.size)
+        sel = np.argsort(w_all.real)[:kk]
         w = w_all[sel].real
         S = np.real(S_all[:, sel])
         # renormalize (real part of a complex eigvec can shrink)
@@ -395,15 +428,20 @@ def _davidson_nonsym_lowest(
         X = V @ S
         R = AV @ S - X * w
         rn = np.linalg.norm(R, axis=0)
-        if np.all(rn < tol):
+        if kk == k and np.all(rn < tol):
             return w, X, True
         new = []
-        for j in range(k):
+        for j in range(kk):
             if rn[j] < tol:
                 continue
             d = w[j] - diag
             d = np.where(np.abs(d) < 1e-8, np.copysign(1e-8, d + 1e-300), d)
             new.append(R[:, j] / d)
+        if not new:
+            # every present root converged but kk < k: inject fresh
+            # directions so the subspace can still reach k roots
+            rng_l = np.random.default_rng(V.shape[1])
+            new.append(rng_l.standard_normal(dim))
         B = in_subspace(np.array(new).T)
         if V.shape[1] + B.shape[1] > max_subspace:
             V, AV = np.empty((dim, 0)), np.empty((dim, 0))
@@ -422,12 +460,22 @@ def eom_ccsd_davidson(
     formulation: str = "spinorbital",
     tol: float = 1e-6,
     cc_epsilon: float = 1e-10,
+    left: bool = False,
 ) -> EomOutput:
     """Matrix-free EOM-EE-CCSD (production tier): Davidson over jvp sigma
     vectors. ``formulation="spinorbital"`` covers all Ms=0 roots (singlets
     and triplets); ``"spatial"`` runs the closed-shell fast path and finds
     singlet roots only. Scales wherever the corresponding ground-state
-    CCSD runs — no determinant space anywhere."""
+    CCSD runs — no determinant space anywhere.
+
+    ``left=True`` additionally solves the LEFT eigenproblem: Hbar is
+    non-Hermitian, so left eigenvectors differ from right ones and are the
+    missing half of biorthogonal transition properties. The left sigma
+    vector is the TRANSPOSE of the jvp operator — i.e. exactly one
+    ``jax.vjp`` through the same verified amplitude step; no additional
+    diagrams exist anywhere. Left excitation energies land in
+    ``left_excitation_energies`` and must match the right spectrum
+    (pinned in tests against the determinant-space Hbar)."""
     import jax
     import jax.numpy as jnp
 
@@ -483,6 +531,7 @@ def eom_ccsd_davidson(
             t1n, t2n, _ = _ccsd_step(a, b, eps_o, eps_v, no, W)
             return D1 * (t1n - a), D2 * (t2n - b)
 
+        amps = (t1, t2)
         n1 = no * nv
         shape2 = (no, no, nv, nv)
 
@@ -558,6 +607,7 @@ def eom_ccsd_davidson(
             t1n, Tn, _ = _ccsd_rhf_step(a, b, eps_o, eps_v, g)
             return D1 * (t1n - a), D2 * (Tn - b)
 
+        amps = (t1, T)
         no_s, nv_s = int(eps_o.size), int(eps_v.size)
         n1 = no_s * nv_s
         shape2 = (no_s, no_s, nv_s, nv_s)
@@ -596,6 +646,30 @@ def eom_ccsd_davidson(
     )
     if not ok:
         raise RuntimeError("EOM Davidson did not converge")
+
+    wl = None
+    if left:
+        # transpose sigma: sigma_L = (dG/dt)^T l — one vjp, zero diagrams
+        _, vjp_fun = jax.vjp(G, *amps)
+        sh1 = amps[0].shape
+
+        @jax.jit
+        def matvec_left(Xb):
+            def one(x):
+                l1 = x[:n1].reshape(sh1)
+                l2 = x[n1:].reshape(shape2)
+                d1, d2 = vjp_fun((l1, l2))
+                return jnp.concatenate([d1.reshape(-1), d2.reshape(-1)])
+
+            return jax.vmap(one)(Xb)
+
+        wl, _XL, okl = _davidson_nonsym_lowest(
+            matvec_left, diag, k_int, in_subspace=in_subspace, tol=tol
+        )
+        if not okl:
+            raise RuntimeError("left EOM Davidson did not converge")
+        wl = np.asarray(wl)[:nstates]
+
     return EomOutput(
         scf_total_energy=out.total_energy(),
         ccsd_total_energy=e_cc_total,
@@ -604,6 +678,7 @@ def eom_ccsd_davidson(
         fci_dimension=0,
         cc_iterations=iters,
         amplitude_residual=0.0,
+        left_excitation_energies=wl,
     )
 
 
@@ -641,4 +716,103 @@ def eom_ccsd(
         fci_dimension=len(dets),
         cc_iterations=ctx["cc_iters"],
         amplitude_residual=residual,
+    )
+
+
+@dataclasses.dataclass
+class EomPropertiesOutput:
+    scf_total_energy: float
+    ccsd_total_energy: float
+    excitation_energies: np.ndarray  # (nstates,) Hartree, ascending
+    oscillator_strengths: np.ndarray  # (nstates,) length-gauge f values
+    transition_strengths: np.ndarray  # (nstates, 3) S_d = T_L,d * T_R,d
+    ground_state_dipole: np.ndarray  # (3,) a.u., nuclear + electronic
+    dimension: int
+
+    def excitation_energies_ev(self) -> np.ndarray:
+        return self.excitation_energies * HARTREE_TO_EV
+
+
+def eom_ccsd_properties(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    nstates: int = 5,
+    max_dim: int = 4000,
+    cc_epsilon: float = 1e-10,
+) -> EomPropertiesOutput:
+    """EOM-CCSD transition dipoles and oscillator strengths, exact in the
+    determinant-space tier.
+
+    Hbar is non-Hermitian, so transition strengths are BIORTHOGONAL
+    products: with right eigenvectors R_k and their duals L = R^{-1}
+    (rows — exact left eigenvectors of the diagonalizable projected Hbar),
+
+        S_k,d = <L_0| mubar_d |R_k> <L_k| mubar_d |R_0>,
+        f_k   = (2/3) omega_k sum_d S_k,d,
+
+    where mubar = e^{-T} mu e^{T} is the similarity-transformed dipole
+    built with the same nilpotent expansions as Hbar. S_k,d is
+    gauge-consistent even though each factor separately is not (the
+    left and right transition moments differ away from Hermiticity).
+    The ground-state row doubles as an independent property check:
+    <L_0|mubar|R_0> + mu_nuc must match the Lambda-equation analytic
+    dipole (models/cc_lambda.py) — pinned in tests.
+
+    The reference has no excited-state tier at all (rhf.rs/uhf.rs are its
+    only models); this is capability beyond
+    /root/reference/core/src/hf/rhf.rs.
+    """
+    from qchem_rs_tpu.ops.one_electron import dipole_integrals
+
+    ctx = _cc_context(system, config, max_dim, cc_epsilon)
+    na, nb = ctx["na"], ctx["nb"]
+    Hbar, dets, index, Xi, X = _hbar_sector(ctx, na, nb, return_transforms=True)
+    hf = ctx["hf_mask"]
+    ranks = np.array([bin(m ^ hf).count("1") // 2 for m in dets])
+    keep = np.where(ranks <= 2)[0]
+    sel = np.ix_(keep, keep)
+    Hp = Hbar[sel]
+
+    C = ctx["C"]
+    mu_ao = np.asarray(dipole_integrals(system))  # (3, nao, nao)
+    # electrons carry charge -1: electronic dipole operator is -r
+    mubar = [
+        (Xi @ _one_body_matrix(-(C.T @ mu_ao[d] @ C), ctx["n"], dets, index) @ X)[sel]
+        for d in range(3)
+    ]
+
+    w, R = np.linalg.eig(Hp)
+    order = np.argsort(w.real)
+    w = w[order]
+    R = R[:, order]
+    L = np.linalg.inv(R)  # rows are the biorthonormal left eigenvectors
+    omega = (w[1:] - w[0]).real
+    k = min(nstates, omega.shape[0])
+
+    mu_nuc = np.array([
+        sum(a.ordinal * a.position[d] for a in system.atoms) for d in range(3)
+    ])
+    mu_gs = np.array([
+        (L[0] @ mubar[d] @ R[:, 0]).real for d in range(3)
+    ]) + mu_nuc
+
+    strengths = np.zeros((k, 3))
+    for j in range(k):
+        s = j + 1  # state index in the sorted spectrum
+        for d in range(3):
+            t_r = L[0] @ mubar[d] @ R[:, s]
+            t_l = L[s] @ mubar[d] @ R[:, 0]
+            strengths[j, d] = (t_r * t_l).real
+    f = (2.0 / 3.0) * omega[:k] * strengths.sum(axis=1)
+
+    e_nuc = float(system.nuclear_repulsion())
+    return EomPropertiesOutput(
+        scf_total_energy=ctx["scf_total_energy"],
+        ccsd_total_energy=float(Hbar[0, 0] + e_nuc),
+        excitation_energies=omega[:k],
+        oscillator_strengths=f,
+        transition_strengths=strengths,
+        ground_state_dipole=mu_gs,
+        dimension=len(keep),
     )

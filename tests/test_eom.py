@@ -149,3 +149,108 @@ def test_matrix_free_eom_matches_determinant_space():
     # the lowest root of water CIS-like spectra is a triplet: the spatial
     # (singlet-only) lowest root must lie ABOVE the spinorbital lowest
     assert sp.excitation_energies[0] > mf.excitation_energies[0] - 1e-8
+
+
+def test_h2_eom_oscillator_strengths_equal_fci():
+    """Two electrons: EOM-CCSD is exact, so the biorthogonal transition
+    strengths must reproduce Hermitian FCI oscillator strengths. Degenerate
+    clusters are compared by their summed strength (individual states mix
+    arbitrarily inside a multiplet)."""
+    from qchem_rs_tpu.models.eom import (
+        _build_hamiltonian,
+        _one_body_matrix,
+        _strings,
+        eom_ccsd_properties,
+    )
+    from qchem_rs_tpu.models.rhf import restricted_hartree_fock
+    from qchem_rs_tpu.models.fci import _transform_full
+    from qchem_rs_tpu.models.rhf import _incore_tools
+    from qchem_rs_tpu.ops import one_electron
+
+    system = load_reference_system("hydrogen", "6-31G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    res = eom_ccsd_properties(system, config, nstates=5)
+
+    # independent FCI oscillator strengths from the dense H + dipole
+    out = restricted_hartree_fock(system, config)
+    C = np.asarray(out.coefficients)
+    ones, engine = _incore_tools(system, config)
+    import jax.numpy as jnp
+
+    pos = jnp.asarray(system.positions)
+    h_mo = np.asarray(C.T @ np.asarray(ones["T"](pos) + ones["V"](pos)) @ C)
+    e4 = engine.finish_eri(engine.build())
+    g_mo = np.asarray(_transform_full(e4, jnp.asarray(C)))
+    H, dim = _build_hamiltonian(h_mo, g_mo, 1, 1)
+    n = C.shape[1]
+    sa, sb = _strings(n, 1), _strings(n, 1)
+    dets = [a | (b << n) for a in sa for b in sb]
+    index = {m: i for i, m in enumerate(dets)}
+    mu_ao = np.asarray(one_electron.dipole_integrals(system))
+    Md = [
+        _one_body_matrix(-(C.T @ mu_ao[d] @ C), n, dets, index)
+        for d in range(3)
+    ]
+    w, V = np.linalg.eigh(H)
+    om = w[1:] - w[0]
+    f_fci = np.array([
+        (2.0 / 3.0) * om[k] * sum(
+            float(V[:, 0] @ Md[d] @ V[:, k + 1]) ** 2 for d in range(3)
+        )
+        for k in range(5)
+    ])
+    np.testing.assert_allclose(res.excitation_energies, om[:5], atol=1e-9)
+    # cluster-summed comparison over degenerate multiplets
+    k = 0
+    while k < 5:
+        j = k
+        while j + 1 < 5 and abs(om[j + 1] - om[k]) < 1e-8:
+            j += 1
+        np.testing.assert_allclose(
+            res.oscillator_strengths[k : j + 1].sum(),
+            f_fci[k : j + 1].sum(),
+            atol=1e-8,
+        )
+        k = j + 1
+    # H2 has at least one dipole-allowed excitation with substantial f
+    assert res.oscillator_strengths.max() > 0.1
+
+
+def test_water_eom_ground_state_dipole_matches_lambda():
+    """The biorthogonal <L0|mubar|R0> ground-state row of the EOM property
+    machinery must equal the Lambda-equation analytic unrelaxed CCSD
+    dipole — two completely different implementations of the same
+    (1+Lambda) e^{-T} mu e^{T} expectation."""
+    from qchem_rs_tpu.models.cc_lambda import ccsd_dipole
+    from qchem_rs_tpu.models.eom import eom_ccsd_properties
+
+    system = load_reference_system("water", "STO-3G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=200)
+    res = eom_ccsd_properties(system, config, nstates=2)
+    lam = ccsd_dipole(system, config)
+    np.testing.assert_allclose(
+        res.ground_state_dipole, lam.ccsd_dipole, atol=1e-7
+    )
+    assert res.ccsd_total_energy == pytest.approx(
+        lam.ccsd_total_energy, abs=1e-8
+    )
+
+
+def test_matrix_free_left_eigenvalues_match_right():
+    """left=True: the vjp (transpose) Davidson must find the same spectrum
+    as the jvp Davidson — one Hbar, two eigenbases. Both formulations."""
+    from qchem_rs_tpu.models.eom import eom_ccsd_davidson
+
+    system = load_reference_system("hydrogen", "6-31G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    for formulation in ("spinorbital", "spatial"):
+        res = eom_ccsd_davidson(
+            system, config, nstates=3, formulation=formulation,
+            tol=1e-8, left=True,
+        )
+        assert res.left_excitation_energies is not None
+        np.testing.assert_allclose(
+            res.left_excitation_energies,
+            res.excitation_energies,
+            atol=1e-7,
+        )
