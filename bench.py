@@ -235,6 +235,26 @@ def main():
     return 0 if best else 1
 
 
+def stop_rule(backend: str) -> tuple[str | None, str | float | None]:
+    """(metric, epsilon) for the SCF stop: env overrides win; otherwise the
+    per-backend calibrated rule from data/calibration.json
+    (tools/calibrate_diis_err.py writes it when a diis_err rung equivalent
+    to 1e-8 Eh beats the diag_rms baseline on that backend); else
+    (None, None) -> the diag_rms@1e-8 default."""
+    metric = os.environ.get("QCHEM_BENCH_METRIC")
+    eps = os.environ.get("QCHEM_BENCH_EPS")
+    if metric is not None or eps is not None:
+        return metric, eps
+    try:
+        with open(os.path.join(ROOT, "data", "calibration.json")) as f:
+            cal = json.load(f).get(backend)
+        if cal:
+            return cal["metric"], cal["epsilon"]
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        pass
+    return None, None
+
+
 def run_configs(configs):
     from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
     # eps=1e-8 (the BASELINE.json metric). Round 1 could only run 1e-7: the
@@ -246,21 +266,9 @@ def run_configs(configs):
     # QCHEM_BENCH_METRIC/QCHEM_BENCH_EPS select the stopping rule; once the
     # on-device diis_err calibration (tools/calibrate_diis_err.py) picks the
     # epsilon equivalent to 1e-8 Eh, run with QCHEM_BENCH_METRIC=diis_err.
-    metric = os.environ.get("QCHEM_BENCH_METRIC")
-    eps = os.environ.get("QCHEM_BENCH_EPS")
-    if metric is None and eps is None:
-        # per-backend calibrated stopping rule (tools/calibrate_diis_err.py
-        # writes it when the diis_err rung equivalent to 1e-8 Eh beats the
-        # diag_rms baseline on that backend)
-        import jax
+    import jax
 
-        try:
-            with open(os.path.join(ROOT, "data", "calibration.json")) as f:
-                cal = json.load(f).get(jax.default_backend())
-            if cal:
-                metric, eps = cal["metric"], cal["epsilon"]
-        except (FileNotFoundError, json.JSONDecodeError, KeyError):
-            pass
+    metric, eps = stop_rule(jax.default_backend())
     cfg = HartreeFockConfig(
         epsilon=float(eps if eps is not None else 1e-8),
         max_iterations=150,
