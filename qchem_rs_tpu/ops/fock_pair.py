@@ -227,8 +227,11 @@ class PairSpaceShardedFockBuilder(PairSpaceFockBuilder):
         # gathers so W (the largest matrix) is produced directly into its
         # 1/ndev-per-device layout instead of materializing unsharded and
         # re-distributing. The V2 tile scans themselves still run on the
-        # default device — the O(M^2) V2 carry is the current single-device
-        # high-water mark of the build (documented limitation).
+        # default device — the O(M^2) V2 carry is this builder's
+        # single-device high-water mark; when even that doesn't fit, use
+        # parallel/v2_sharded.ColumnShardedPairFockBuilder, which assembles
+        # the slabs directly on their devices (no (M, M) anywhere, at 2x
+        # the integral FLOPs).
         if not hasattr(self, "_pj"):
             def prep(V2):
                 V2f = _mirror(V2)
