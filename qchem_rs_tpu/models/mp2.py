@@ -146,24 +146,30 @@ def mp2_pair_space(
         C = jnp.asarray(system.sph_T) @ C
     eps = jnp.asarray(out.orbital_energies)
     builder = builder or _direct_tools(system, config, "pair")
-    if builder._prepared is not None:
-        # SCF ran in pair mode: its (V2f, W) are already resident — reuse
-        # V2f instead of paying a second peak-memory tile build + mirror.
-        V2f = builder._prepared[0]
-    else:
-        from qchem_rs_tpu.ops.fock_pair import _mirror
-
-        V2f = jax.jit(_mirror, donate_argnums=(0,))(builder.engine.build())
     Co, Cv = C[:, nfz:nocc], C[:, nocc:]
     U = _pair_transform_matrix(builder, Co, Cv)
-
-    @jax.jit
-    def contract(V2f, U):
-        half = V2f @ U  # (M, no*nv)
-        return U.T @ half  # (no*nv, no*nv)
-
     no, nv = nocc - nfz, C.shape[1] - nocc
-    ovov = contract(V2f, U).reshape(no, nv, no, nv)
+    if hasattr(builder, "mo_pair_contract"):
+        # build-sharded V2f (parallel/v2_sharded.py): the slab columns are
+        # device-local/permuted, so the contraction runs inside the
+        # builder's own shard_map with U permuted per device
+        ovov = builder.mo_pair_contract(U).reshape(no, nv, no, nv)
+    else:
+        if builder._prepared is not None:
+            # SCF ran in pair mode: its (V2f, W) are already resident —
+            # reuse V2f instead of a second peak-memory tile build + mirror
+            V2f = builder._prepared[0]
+        else:
+            from qchem_rs_tpu.ops.fock_pair import _mirror
+
+            V2f = jax.jit(_mirror, donate_argnums=(0,))(builder.engine.build())
+
+        @jax.jit
+        def contract(V2f, U):
+            half = V2f @ U  # (M, no*nv)
+            return U.T @ half  # (no*nv, no*nv)
+
+        ovov = contract(V2f, U).reshape(no, nv, no, nv)
     ecorr = float(_mp2_from_mo(ovov, eps[nfz:nocc], eps[nocc:]))
     return Mp2Output(
         scf_total_energy=out.total_energy(),

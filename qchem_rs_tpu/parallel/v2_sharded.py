@@ -448,3 +448,37 @@ class ColumnShardedPairFockBuilder:
         if not hasattr(self, "_jk_jit"):
             self._jk_jit = jax.jit(self.jk_sph)
         return self._jk_jit(jnp.asarray(D), V2f, W)
+
+    # ------------------------------------------------------- MO contractions
+
+    def _v2f(self):
+        """The sharded V2f alone — without paying the W build when only
+        correlation transforms need the integrals (models/mp2.py)."""
+        if self._prepared is not None:
+            return self._prepared[0]
+        if getattr(self, "_v2_only", None) is None:
+            self._v2_only = self.build()
+        return self._v2_only
+
+    def mo_pair_contract(self, U):
+        """U^T V2f U for an (M, m) MO pair-distribution matrix in CANONICAL
+        row order (models/mp2.py builds it): each device contracts its
+        column slab against the permuted-row copy of U, one psum at the
+        end. Per-device peak: slab + U + the (m, Mcap) half-transform —
+        the no-n^4 MP2 transform at 1/ndev memory with the V2 build itself
+        already sharded."""
+        mesh, ax = self.mesh, self.axis
+        cp = np.clip(self._colperm, 0, None).reshape(-1).astype(np.int32)
+        mask = (self._colperm >= 0).reshape(-1)
+        V2f = self._v2f()
+
+        def local(U, Vloc, cp_l, mask_l):
+            Up = jnp.take(U, cp_l, axis=0) * mask_l[:, None]
+            t = U.T @ Vloc  # (m, Mcap)
+            return jax.lax.psum(t @ Up, ax)
+
+        return jax.jit(_shard_map(
+            local, mesh,
+            in_specs=(P(), P(None, ax), P(ax), P(ax)),
+            out_specs=P(),
+        ))(U, V2f, jnp.asarray(cp), jnp.asarray(mask))

@@ -231,3 +231,19 @@ def test_column_sharded_rhf_energy(water):
     total = float(st.energy) + water.nuclear_repulsion()
     assert bool(st.converged)
     assert abs(total - dense.total_energy()) < 1e-9
+
+
+def test_column_sharded_mp2_matches_dense(water):
+    """MP2 through the build-sharded V2f: the whole correlation transform
+    runs at 1/ndev memory with NO (M, M) build anywhere, and equals dense
+    in-core MP2 to 1e-9."""
+    from qchem_rs_tpu.models.mp2 import mp2, mp2_pair_space
+    from qchem_rs_tpu.parallel.v2_sharded import ColumnShardedPairFockBuilder
+
+    cfg = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    dense = mp2(water, cfg)
+    mesh = data_mesh(8, axis="q")
+    builder = ColumnShardedPairFockBuilder(water, mesh, axis="q", threshold=1e-14)
+    sharded = mp2_pair_space(water, cfg, builder=builder)
+    assert abs(sharded.correlation_energy - dense.correlation_energy) < 1e-9
+    assert abs(sharded.scf_total_energy - dense.scf_total_energy) < 1e-9
