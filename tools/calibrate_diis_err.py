@@ -80,7 +80,24 @@ def main():
         print(json.dumps({"recommended": None, "reason": "no rung converged"}),
               flush=True)
         return
-    e_ref = converged[-1]["total_energy"]  # tightest converged rung
+    # Fixed-point reference: the TIGHTEST RUNG'S FINAL ENERGY whether or not
+    # its stop triggered — a max_iterations run is the closest fixed-point
+    # estimate available. Round-4 TPU measurement showed why "tightest
+    # CONVERGED rung" is unsafe: on emulated f64 the commutator norm has a
+    # noise floor between 1e-6 and 1e-7 (eps<=1e-7 never triggers), while
+    # the eps=1e-6 stop fired on a transient DIIS overshoot 1.6e-3 Eh OFF
+    # the fixed point — and agreed with its neighbor rung to 0, so the old
+    # logic certified a badly under-converged rule (docs/PROFILE_r04.md).
+    e_ref = rows[-1]["total_energy"]
+    e_diag = ref_diag.total_energy()
+    if abs(e_ref - e_diag) > 1e-5:
+        # the two independent estimates disagree: no trustworthy reference
+        print(json.dumps({
+            "recommended": None,
+            "reason": f"reference estimates disagree: tight-rung {e_ref} "
+                      f"vs diag_rms {e_diag}",
+        }), flush=True)
+        return
     best = None
     for r in converged:  # loosest-first
         r["dE_vs_ref"] = float(f"{abs(r['total_energy'] - e_ref):.3e}")
