@@ -247,3 +247,27 @@ def test_column_sharded_mp2_matches_dense(water):
     sharded = mp2_pair_space(water, cfg, builder=builder)
     assert abs(sharded.correlation_energy - dense.correlation_energy) < 1e-9
     assert abs(sharded.scf_total_energy - dense.scf_total_energy) < 1e-9
+
+
+def test_column_sharded_plan_invariants(water):
+    """Host-side planner invariants (no device work beyond construction):
+    the device tile-columns partition every real V2 column exactly once,
+    permidx inverts colperm, and every real AO pair's column is owned."""
+    from qchem_rs_tpu.parallel.v2_sharded import ColumnShardedPairFockBuilder
+
+    mesh = data_mesh(8, axis="q")
+    b = ColumnShardedPairFockBuilder(water, mesh, axis="q", threshold=1e-14)
+    cp = b._colperm
+    live = cp[cp >= 0]
+    # no canonical column owned twice
+    assert len(np.unique(live)) == len(live)
+    # every column referenced by the AO pair map is owned by some device
+    pmap = b.engine.layout.pmap
+    assert np.isin(pmap, live).all()
+    # permidx inverts colperm on live slots
+    for d in range(cp.shape[0]):
+        slots = np.flatnonzero(cp[d] >= 0)
+        assert (b._permidx[cp[d, slots]] == d * b.Mcap + slots).all()
+    # padding slots carry zero matvec weight
+    wj = np.asarray(b._wj_l).reshape(cp.shape)
+    assert (wj[cp < 0] == 0).all()
