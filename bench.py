@@ -208,13 +208,20 @@ def main():
         return 0 if best else 1
 
     # Healthy accelerator: walk configs best-first, stop at first success.
+    # Parallel precompile measured 1.58x on cold_s (664 vs 1052 s serial,
+    # benzene/cc-pVDZ, 2026-08-19) with identical warm results; the
+    # remote-compile-helper flakiness it risks is covered by precompile's
+    # retry/skip and this file's per-config retry.
+    workers_env = {}
+    if "QCHEM_COMPILE_WORKERS" not in os.environ:
+        workers_env["QCHEM_COMPILE_WORKERS"] = "4"
     for mol, bpath, tag, budget in CONFIGS:
         if tag.startswith("rhf_naphthalene"):
             continue  # opt-in only (QCHEM_BENCH_ONLY)
         budget = min(budget, _remaining() - 120)
         if budget < 120:
             break
-        result = _run_child(tag, budget)
+        result = _run_child(tag, budget, workers_env)
         if result:
             best.update(result)
             _log(f"# result: {json.dumps(result)}")
