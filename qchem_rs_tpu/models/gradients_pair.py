@@ -144,17 +144,23 @@ class PairGradientProgram:
     # --- traced pieces ----------------------------------------------------
 
     def _density(self, positions, C0, occ):
-        """Frozen-coefficient density in the CARTESIAN AO basis (the pair
-        space is Cartesian), with the Pulay re-orthonormalization
-        C(x) = C0 (3I - C0^T S C0)/2 — see models/gradients._inv_sqrt_sym."""
+        """Frozen-coefficient PER-SPIN densities (2, nao, nao) in the
+        CARTESIAN AO basis (the pair space is Cartesian), with the Pulay
+        re-orthonormalization C(x) = C0 (3I - C0^T S C0)/2 — see
+        models/gradients._inv_sqrt_sym. C0/occ carry a leading spin axis;
+        closed shells pass the same C0 twice (D_sigma = D_total / 2)."""
         S = one_electron.overlap(self.system, positions)
         n = S.shape[0]
-        M = C0.T @ S @ C0
-        C = C0 @ (1.5 * jnp.eye(n) - 0.5 * M)
-        D = self._scale * (C * occ[None, :]) @ C.T
-        if self._sphT is not None:
-            D = self._sphT @ D @ self._sphT.T
-        return D
+
+        def one(C0s, occs):
+            M = C0s.T @ S @ C0s
+            C = C0s @ (1.5 * jnp.eye(n) - 0.5 * M)
+            D = (C * occs[None, :]) @ C.T
+            if self._sphT is not None:
+                D = self._sphT @ D @ self._sphT.T
+            return D
+
+        return jax.vmap(one)(C0, occ)
 
     def _make_task_grad(self, i1, i2, m1, m2, T1, T2, same):
         from qchem_rs_tpu.ops.eri_tiled import _tile_vals
@@ -167,11 +173,12 @@ class PairGradientProgram:
         pidx = self._pidx
 
         def e2e(positions, C0, occ, xs):
-            D = self._density(positions, C0, occ)
+            Ds = self._density(positions, C0, occ)  # (2, nao, nao) per spin
+            Dt = Ds[0] + Ds[1]
             padded = self.engine.padded_groups(positions)
             E1, p1, P1 = padded[i1]
             E2, p2, P2 = padded[i2]
-            dJ = D.reshape(-1)[pidx] * wj
+            dJ = Dt.reshape(-1)[pidx] * wj
 
             def body(acc, x):
                 t_i, t_j = x
@@ -194,11 +201,17 @@ class PairGradientProgram:
                 ur, uc = s1(u, r0, nr), s1(u, c0, nc)
                 rar, rbr = s1(ra, r0, nr), s1(rb, r0, nr)
                 rac, rbc = s1(ra, c0, nc), s1(rb, c0, nc)
-                G = lambda i_, j_: D[i_[:, None], j_[None, :]]
-                Zk = (ur[:, None] * uc[None, :]) * (
-                    G(rar, rac) * G(rbr, rbc) + G(rar, rbc) * G(rbr, rac)
-                )
-                Z = 0.5 * (dJr[:, None] * dJc[None, :]) - 0.5 * Zk
+                # exchange couples same-spin densities only:
+                # E_K = -1/2 sum_sigma Tr[D_sigma K(D_sigma)]; the closed-
+                # shell D_a = D_b = D_t/2 case reduces to the old
+                # 0.5 * Zk(D_t) factor exactly
+                def Zk(D):
+                    G = lambda i_, j_: D[i_[:, None], j_[None, :]]
+                    return (ur[:, None] * uc[None, :]) * (
+                        G(rar, rac) * G(rbr, rbc) + G(rar, rbc) * G(rbr, rac)
+                    )
+
+                Z = 0.5 * (dJr[:, None] * dJc[None, :]) - (Zk(Ds[0]) + Zk(Ds[1]))
                 w = jnp.where(t_i == t_j, 1.0, 2.0) if same else 2.0
                 return acc + live * w * jnp.sum(vals * Z), None
 
@@ -218,14 +231,26 @@ class PairGradientProgram:
                 system, positions
             )
             n = S.shape[0]
-            M = C0.T @ S @ C0
-            C = C0 @ (1.5 * jnp.eye(n) - 0.5 * M)
-            D = scale * (C * occ[None, :]) @ C.T
+
+            def one(C0s, occs):
+                M = C0s.T @ S @ C0s
+                C = C0s @ (1.5 * jnp.eye(n) - 0.5 * M)
+                return (C * occs[None, :]) @ C.T
+
+            D = jax.vmap(one)(C0, occ).sum(0)  # spin-summed one-electron D
             return jnp.sum(D * H) + nuclear_repulsion_jnp(charges, positions)
 
         return jax.jit(jax.grad(rest, argnums=0))
 
     def __call__(self, positions, C0, occ):
+        """C0 (n, n) + occ (n,) = closed shell (occ over doubly-occupied
+        orbitals; densities split evenly per spin); C0 (2, n, n) + occ
+        (2, n) = spin-resolved (UHF)."""
+        C0 = jnp.asarray(C0)
+        occ = jnp.asarray(occ)
+        if C0.ndim == 2:
+            C0 = jnp.stack([C0, C0])
+            occ = jnp.stack([occ, occ])
         g = self._rest_grad(positions, C0, occ)
         for grad_fn, segments in self._tasks:
             for xs in segments:
@@ -257,6 +282,43 @@ def rhf_gradient_pair(
     C0 = jnp.asarray(out.coefficients)
     prog = _grad_program(
         system, config, "rhf_grad_pair",
+        lambda: PairGradientProgram(system, config),
+    )
+    g = prog(jnp.asarray(system.positions), C0, occ)
+    return np.asarray(g)
+
+
+def uhf_gradient_pair(
+    system: MolecularSystem,
+    config: Optional[HartreeFockConfig] = None,
+    *,
+    output=None,
+) -> np.ndarray:
+    """Analytic d E_UHF / d positions via the pair-space engine — the
+    open-shell twin of rhf_gradient_pair (matches models/gradients.
+    uhf_gradient without the n^4 operator tensor). Same tile programs as
+    the closed-shell path: only the spin-resolved densities differ, and
+    exchange couples same-spin blocks only."""
+    from qchem_rs_tpu.models import scf
+    from qchem_rs_tpu.models.gradients import _grad_program
+    from qchem_rs_tpu.models.uhf import unrestricted_hartree_fock
+
+    config = config or HartreeFockConfig(
+        epsilon=1e-10, max_iterations=300, fock_mode="pair"
+    )
+    out = output or unrestricted_hartree_fock(system, config)
+    if not out.converged:
+        raise RuntimeError("SCF not converged; gradient would be meaningless")
+    n = system.n_basis()
+    nocc = scf.electron_counts(
+        system.n_electrons(config.charge), config.spin_multiplicity
+    )
+    occ = jnp.stack(
+        [(jnp.arange(n) < nocc[0]), (jnp.arange(n) < nocc[1])]
+    ).astype(jnp.float64)
+    C0 = jnp.asarray(out.coefficients)  # (2, n, n)
+    prog = _grad_program(
+        system, config, "rhf_grad_pair",  # same programs: shapes are shared
         lambda: PairGradientProgram(system, config),
     )
     g = prog(jnp.asarray(system.positions), C0, occ)

@@ -64,3 +64,41 @@ def test_pair_gradient_translation_invariance():
     g = rhf_gradient_pair(system, cfg)
     # net force vanishes (translation invariance of the energy)
     np.testing.assert_allclose(g.sum(axis=0), np.zeros(3), atol=1e-8)
+
+
+def test_uhf_pair_gradient_matches_dense():
+    """Open-shell pair-space gradient == dense uhf_gradient (OH radical):
+    same frozen-coefficient functional, no n^4 tensor; and the net force
+    is translation-invariant."""
+    import numpy as np
+
+    from qchem_rs_tpu.config import HartreeFockConfig
+    from qchem_rs_tpu.models.gradients import uhf_gradient
+    from qchem_rs_tpu.models.gradients_pair import uhf_gradient_pair
+    from tests.helpers import load_reference_system
+
+    system = load_reference_system("hydroxyl", "STO-3G")
+    cfg = HartreeFockConfig(
+        epsilon=1e-11, max_iterations=300, spin_multiplicity=2
+    )
+    g_dense = uhf_gradient(system, cfg)
+    g_pair = uhf_gradient_pair(system, cfg)
+    assert np.abs(g_pair - g_dense).max() < 5e-9
+    assert np.abs(g_pair.sum(axis=0)).max() < 1e-8
+
+
+def test_rhf_pair_gradient_unchanged_by_spin_stacking():
+    """The closed-shell entry still matches the dense gradient after the
+    per-spin density refactor (D_a = D_b = D_t/2 reduction)."""
+    import numpy as np
+
+    from qchem_rs_tpu.config import HartreeFockConfig
+    from qchem_rs_tpu.models.gradients import rhf_gradient
+    from qchem_rs_tpu.models.gradients_pair import rhf_gradient_pair
+    from tests.helpers import load_reference_system
+
+    system = load_reference_system("water", "STO-3G")
+    cfg = HartreeFockConfig(epsilon=1e-11, max_iterations=200)
+    g_dense = rhf_gradient(system, cfg)
+    g_pair = rhf_gradient_pair(system, cfg)
+    assert np.abs(g_pair - g_dense).max() < 5e-9
