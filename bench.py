@@ -18,7 +18,11 @@ BENCH_r03.json rc=124 with zero output — see VERDICT round 3):
   * A 90 s `jax.devices()` health probe runs before any work; on hang/fail
     the bench falls back to JAX_PLATFORMS=cpu configs and tags the result.
   * All child budgets are carved from one global wall-clock window
-    (QCHEM_BENCH_WINDOW, default 2100 s < the driver's timeout).
+    (QCHEM_BENCH_WINDOW, default 1500 s — safely under the ~2100 s driver
+    timeout that produced BENCH_r04's rc=124).
+  * The headline JSON is printed to stdout THE MOMENT it lands; optional
+    enrichment (a CPU comparison on a config sized for the 1-core host)
+    prints an updated line afterwards — the last parseable line wins.
   * A watchdog thread prints the best result so far (or a diagnostic
     failure line) and exits the process 30 s before the window closes, so
     even a hung child cannot produce an empty output tail.
@@ -35,8 +39,20 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 REFERENCE_PROFILED_RUN_S = 14.3
-WINDOW_S = float(os.environ.get("QCHEM_BENCH_WINDOW", 2100))
+# 1500 s default: the driver timeout that produced BENCH_r04's rc=124 killed
+# the process at ~2100 s, so the window must sit safely below it (VERDICT
+# round 4, item 1).
+WINDOW_S = float(os.environ.get("QCHEM_BENCH_WINDOW", 1500))
 T_START = time.monotonic()
+
+# Tightest recorded fixed-point energies per config (Eh), for reporting the
+# headline stop rule's deviation from the 1e-8 fixed point. Sources:
+# benzene: diag_rms@1e-8 on TPU (BENCH_r04 tail; emulated-f64 noise ~1e-7);
+# water: diag_rms@1e-10 on CPU (docs/PROFILE_r04.md).
+FIXED_POINTS = {
+    "rhf_benzene_ccpvdz": -230.72299497,
+    "rhf_water_ccpvdz": -76.02713907,
+}
 
 
 def _remaining() -> float:
@@ -225,20 +241,27 @@ def main():
         if result:
             best.update(result)
             _log(f"# result: {json.dumps(result)}")
+            # EMIT IMMEDIATELY: the driver records the last parseable stdout
+            # line; two rounds were lost to this process dying between the
+            # headline landing and the single _finalize at the end (VERDICT
+            # round 4, item 1). Everything after this line only enriches.
+            _finalize()
             break
 
-    # CPU comparison point for the headline, if the window allows: same
-    # config on XLA:CPU (the reference cannot be built here — molint is an
-    # unvendored path dep, Cargo.toml:12 — so the apples-to-apples baseline
-    # is this framework's own CPU path vs its TPU path).
-    if best and _remaining() > 700:
-        cpu = _run_child(best["metric"].replace("time_to_converged_scf_", ""),
-                         _remaining() - 120, {"JAX_PLATFORMS": "cpu"})
+    # CPU comparison point, window permitting: rhf_water_ccpvdz on XLA:CPU
+    # (the reference cannot be built here — molint is an unvendored path
+    # dep, Cargo.toml:12 — so the available apples-to-apples is this
+    # framework's CPU path vs its TPU path on a config that FITS the
+    # 1-core host; benzene/cc-pVDZ takes ~830 s warm there and must never
+    # run in this window).
+    if best and _remaining() > 420:
+        cpu = _run_child("rhf_water_ccpvdz", min(300.0, _remaining() - 120),
+                         {"JAX_PLATFORMS": "cpu"})
         if cpu:
-            best["cpu_warm_s"] = cpu["value"]
-            best["speedup_vs_cpu"] = round(cpu["value"] / best["value"], 2)
+            best["cpu_water_warm_s"] = cpu["value"]
+            best["cpu_water_energy"] = cpu.get("total_energy_hartree")
+            _finalize()  # updated line; last parseable line wins
 
-    _finalize()
     return 0 if best else 1
 
 
@@ -247,7 +270,7 @@ def stop_rule(backend: str) -> tuple[str | None, str | float | None]:
     per-backend calibrated rule from data/calibration.json
     (tools/calibrate_diis_err.py writes it when a diis_err rung equivalent
     to 1e-8 Eh beats the diag_rms baseline on that backend); else
-    (None, None) -> the diag_rms@1e-8 default."""
+    (None, None) -> run_configs' composite@1e-8 default."""
     metric = os.environ.get("QCHEM_BENCH_METRIC")
     eps = os.environ.get("QCHEM_BENCH_EPS")
     if metric is not None or eps is not None:
@@ -276,10 +299,19 @@ def run_configs(configs):
     import jax
 
     metric, eps = stop_rule(jax.default_backend())
+    # Round-5 default stop: SAD guess + the composite noise-aware rule
+    # (|dE| < 1e-8 Eh on two consecutive passes, gated on the diagonal
+    # density RMS settling below 1e-6) — the iteration levers measured in
+    # docs/PROFILE_r04.md §calibration. QCHEM_BENCH_METRIC/EPS/GUESS and
+    # data/calibration.json override. The reported JSON carries the energy
+    # deviation vs the recorded diag_rms@1e-8 fixed point so the stop rule's
+    # honesty is checkable in the artifact itself.
+    guess = os.environ.get("QCHEM_BENCH_GUESS", "sad")
     cfg = HartreeFockConfig(
         epsilon=float(eps if eps is not None else 1e-8),
         max_iterations=150,
-        convergence_metric=metric or "diag_rms",
+        convergence_metric=metric or "composite",
+        initial_guess=guess,
     )
     for mol, basis_path, tag, default_budget in configs:
       budget = float(os.environ.get("QCHEM_BENCH_BUDGET", default_budget))
@@ -321,18 +353,30 @@ def run_configs(configs):
             if not out.converged:
                 continue
             out2, warm = run_once(system, cfg)
-            gflops = None
+            gflops = gflops_xla = None
             eri_s = out2.timings.get("eri_s")
-            if eri_s and cfg.fock_mode == "incore":
-                from qchem_rs_tpu.models.rhf import _incore_tools
+            if eri_s and cfg.fock_mode in ("incore", "pair"):
+                engine = None
+                if cfg.fock_mode == "incore":
+                    from qchem_rs_tpu.models.rhf import _incore_tools
 
-                gf = _eri_gflops(_incore_tools(system, cfg)[1])
+                    engine = _incore_tools(system, cfg)[1]
+                else:
+                    from qchem_rs_tpu.models.rhf import _direct_tools
+
+                    engine = _direct_tools(system, cfg, "pair").engine
+                # analytic count: kernel-mode-comparable (XLA cost analysis
+                # cannot see Mosaic-kernel FLOPs — VERDICT round 4 item 4)
+                gflops = round(engine.analytic_build_flops() / 1e9 / eri_s, 2)
+                gf = _eri_gflops(engine)
                 if gf:
-                    gflops = round(gf / eri_s, 2)
+                    gflops_xla = round(gf / eri_s, 2)
             import jax
 
             from qchem_rs_tpu.ops.eri_tiled import _kernel_mode
 
+            energy = out2.total_energy()
+            fixed_ref = FIXED_POINTS.get(tag)
             result = {
                 "metric": f"time_to_converged_scf_{tag}",
                 "value": round(warm, 3),
@@ -340,13 +384,23 @@ def run_configs(configs):
                 "vs_baseline": round(REFERENCE_PROFILED_RUN_S / warm, 2),
                 "kernel": _kernel_mode(),
                 "stop_metric": f"{cfg.convergence_metric}@{cfg.epsilon:g}",
+                "guess": cfg.initial_guess,
                 "backend": jax.default_backend(),
                 "cold_s": round(cold, 3),
-                "total_energy_hartree": round(out2.total_energy(), 8),
+                "total_energy_hartree": round(energy, 8),
+                "fixed_point_dev_hartree": (
+                    None if fixed_ref is None else round(abs(energy - fixed_ref), 9)
+                ),
                 "iterations": out2.iterations,
                 "nao": system.n_basis(),
                 "run_s": round(out2.timings.get("total_s", warm), 3),
+                "eri_s": round(eri_s, 3) if eri_s else None,
+                "scf_s": (
+                    round(out2.timings["scf_s"], 3)
+                    if "scf_s" in out2.timings else None
+                ),
                 "gflops_per_s": gflops,
+                "gflops_per_s_xla": gflops_xla,
             }
             print(json.dumps(result), flush=True)
             return 0

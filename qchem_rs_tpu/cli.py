@@ -49,12 +49,22 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
         )
     p.add_argument(
         "--convergence",
-        choices=["diag_rms", "full_rms", "energy", "diis_err"],
+        type=_convergence_metric,
         default="diag_rms",
-        help="convergence metric (diag_rms matches the reference quirk; "
-        "energy stops on |dE| < epsilon in Hartree; diis_err on the "
-        "max|FDS-SDF| commutator norm — the noise-robust choice on "
-        "emulated-f64 TPU, see tools/calibrate_diis_err.py)",
+        help="convergence metric: diag_rms (reference quirk), full_rms, "
+        "energy (|dE| < epsilon in Hartree), diis_err (max|FDS-SDF| "
+        "commutator norm), or composite[:GUARD] (|dE| < epsilon on two "
+        "consecutive iterations, gated until the diagonal density RMS "
+        "settles below GUARD, default 1e-6 — the noise-aware stop for "
+        "emulated-f64 TPU, docs/PROFILE_r04.md)",
+    )
+    p.add_argument(
+        "--guess",
+        choices=["huckel", "sad"],
+        default="huckel",
+        help="initial density: huckel (reference parity, rhf.rs:133-150) or "
+        "sad (superposition of atomic densities — typically ~2x fewer "
+        "iterations; models/sad.py)",
     )
     p.add_argument("--mixing", type=float, default=1.0, help="density mixing factor (1.0 = no damping)")
     p.add_argument(
@@ -120,6 +130,25 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
     )
 
 
+def _convergence_metric(value: str) -> str:
+    """argparse type for --convergence: fixed names plus composite[:GUARD]."""
+    if value in ("diag_rms", "full_rms", "energy", "diis_err"):
+        return value
+    if value == "composite" or value.startswith("composite:"):
+        if ":" in value:
+            try:
+                float(value.split(":", 1)[1])
+            except ValueError:
+                raise argparse.ArgumentTypeError(
+                    f"bad composite guard in {value!r} (want composite:<float>)"
+                ) from None
+        return value
+    raise argparse.ArgumentTypeError(
+        f"unknown convergence metric {value!r} (diag_rms, full_rms, energy, "
+        "diis_err, composite[:GUARD])"
+    )
+
+
 class CliError(Exception):
     """User-facing CLI error (bad paths/data): printed as one line, no
     traceback (the reference panics; we exit 2 cleanly)."""
@@ -150,6 +179,7 @@ def _build(args):
         fock_mode=getattr(args, "fock_mode", "incore"),
         level_shift=getattr(args, "level_shift", 0.0),
         electric_field=tuple(getattr(args, "field", None) or (0.0, 0.0, 0.0)),
+        initial_guess=getattr(args, "guess", "huckel"),
     )
     return system, cfg
 

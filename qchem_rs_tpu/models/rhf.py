@@ -104,6 +104,7 @@ def _rhf_scf(
             metric, energy=energy, prev_energy=st.energy, err=err,
             d_change=d_change,
         )
+        conv = scf.converged_flag(metric, rms, st.rms, epsilon)
         if verbose:  # in-jit analogue of the reference's per-iteration log::info!
             jax.debug.print(
                 "iteration {i:<4} - electronic energy {e:1.4f}. density rms {r:1.4e}",
@@ -117,7 +118,7 @@ def _rhf_scf(
             diis=diis,
             energy=energy,
             rms=rms,
-            converged=rms < epsilon,
+            converged=conv,
             orbital_energies=w,
             coefficients=C,
         )
@@ -360,6 +361,8 @@ def _rhf_scf_direct(
             config.convergence_metric, energy=energy, prev_energy=st.energy,
             err=err, d_change=d_change,
         )
+        conv = scf.converged_flag(config.convergence_metric, rms, st.rms,
+                                  config.epsilon)
         if config.verbose:
             jax.debug.print(
                 "iteration {i:<4} - electronic energy {e:1.4f}. density rms {r:1.4e}",
@@ -373,7 +376,7 @@ def _rhf_scf_direct(
             diis=diis,
             energy=energy,
             rms=rms,
-            converged=rms < config.epsilon,
+            converged=conv,
             orbital_energies=w,
             coefficients=C,
         )
@@ -456,6 +459,7 @@ def _rhf_scf_hostloop(
     rms = jnp.asarray(jnp.inf)
     converged = False
     passes = 0
+    prev_rms = float("inf")
     # reference bound: 0..=max_iterations (rhf.rs:66)
     for _ in range(config.max_iterations + 1):
         J, K = jk_host(D)
@@ -466,9 +470,11 @@ def _rhf_scf_hostloop(
                 f"iteration {passes - 1:<4} - electronic energy "
                 f"{float(energy):1.4f}. density rms {float(rms):1.4e}"
             )
-        if float(rms) < config.epsilon:
+        if bool(scf.converged_flag(config.convergence_metric, float(rms),
+                                   prev_rms, config.epsilon)):
             converged = True
             break
+        prev_rms = float(rms)
     return _ScfState(
         iteration=jnp.asarray(passes, jnp.int32),
         density=D,
@@ -503,6 +509,12 @@ def restricted_hartree_fock(
     nocc = n_electrons // 2
 
     timings: dict = {}
+    if density_guess is None and config.initial_guess == "sad":
+        from qchem_rs_tpu.models.sad import sad_guess
+
+        t_g = time.perf_counter()
+        density_guess = sad_guess(system, charge=config.charge)
+        timings["guess_s"] = time.perf_counter() - t_g
     warm = density_guess is not None
     positions = jnp.asarray(system.positions)
     e_field_nuc = 0.0
@@ -598,6 +610,7 @@ def restricted_hartree_fock(
                 config.diis_window(4, 6), config.mixing_factor, terms_mat,
                 guess_arr, use_g, config.verbose, config.level_shift,
             )
+        st.density.block_until_ready()  # dispatch is async; time the work
         timings["scf_s"] = time.perf_counter() - t1
     st.density.block_until_ready()
     timings["total_s"] = time.perf_counter() - t0

@@ -83,21 +83,48 @@ def electron_counts(n_electrons: int, spin_multiplicity: int) -> tuple[int, int]
     return n_beta + n_unpaired, n_beta
 
 
+def composite_guard(metric: str) -> float:
+    """diag_rms guard of a "composite[:<guard>]" metric (default 1e-6)."""
+    return float(metric.split(":", 1)[1]) if ":" in metric else 1e-6
+
+
 def convergence_value(metric: str, *, energy, prev_energy, err, d_change):
     """The scalar tested against epsilon, shared by every RHF loop variant.
 
     "energy": |dE| (the 1e-8 Eh criterion directly); "diis_err": commutator
     norm max|FDS - SDF| (distance-to-fixed-point — needs no extra iteration
-    to observe a small CHANGE); otherwise a density-RMS metric
-    (density_rms). UHF keeps its own spin-averaged density branches
-    (reference double-halving quirk, uhf.rs:137-139) but shares the first
-    two through this helper as well.
+    to observe a small CHANGE); "composite[:<guard>]": the noise-aware stop
+    designed in docs/PROFILE_r04.md — |dE| gated to +inf until the
+    diagonal density RMS settles below <guard> (default 1e-6), so a DIIS
+    transient with a momentarily flat energy cannot trigger it; pair with
+    ``converged_flag`` which additionally demands TWO consecutive passes
+    below epsilon. Otherwise a density-RMS metric (density_rms). UHF keeps
+    its own spin-averaged density branches (reference double-halving quirk,
+    uhf.rs:137-139) but shares the scalar metrics through this helper.
     """
     if metric == "energy":
         return jnp.abs(energy - prev_energy)
     if metric == "diis_err":
         return jnp.max(jnp.abs(err))
+    if metric.startswith("composite"):
+        guard = composite_guard(metric)
+        de = jnp.abs(energy - prev_energy)
+        diag = density_rms(d_change, "diag_rms")
+        return jnp.where(diag < guard, de, jnp.inf)
     return density_rms(d_change, metric)
+
+
+def converged_flag(metric: str, rms, prev_rms, epsilon):
+    """Convergence decision for one SCF pass. All metrics stop on
+    ``rms < epsilon``; the composite metric additionally requires the
+    PREVIOUS pass below epsilon too (an energy plateau over a 2-iteration
+    window — a single small |dE| at an oscillation extremum is not a stop).
+    ``prev_rms`` is the loop state's previous metric value (inf initially,
+    so iteration 0 can never composite-stop)."""
+    conv = rms < epsilon
+    if metric.startswith("composite"):
+        conv = conv & (prev_rms < epsilon)
+    return conv
 
 
 def shifted_solve_fock(F: jax.Array, D_occ: jax.Array, X: jax.Array,

@@ -433,6 +433,16 @@ def unrestricted_hartree_fock(
     nocc = scf.electron_counts(n_electrons, config.spin_multiplicity)
 
     timings: dict = {}
+    if density_guess is None and config.initial_guess == "sad":
+        from qchem_rs_tpu.models.sad import sad_guess
+
+        t_g = time.perf_counter()
+        # the UHF guess is per-spin (2, n, n): split the total SAD density by
+        # the spin fractions so Tr[D_sigma S] ~ nocc_sigma
+        D_tot = sad_guess(system, charge=config.charge)
+        frac_a = nocc[0] / max(1, sum(nocc))
+        density_guess = np.stack([frac_a * D_tot, (1.0 - frac_a) * D_tot])
+        timings["guess_s"] = time.perf_counter() - t_g
     warm = density_guess is not None
     positions = jnp.asarray(system.positions)
     guess = jnp.asarray(density_guess) if warm else None
