@@ -262,7 +262,10 @@ def main():
             best["cpu_water_energy"] = cpu.get("total_energy_hartree")
             _finalize()  # updated line; last parseable line wins
 
-    return 0 if best else 1
+    if not best:
+        _finalize()  # diagnostic value=-1 line: never exit silently
+        return 1
+    return 0
 
 
 def stop_rule(backend: str) -> tuple[str | None, str | float | None]:

@@ -8,12 +8,22 @@ point for organic molecules — and enters the compiled SCF program through the
 existing ``density_guess`` operand, so selecting it triggers NO new TPU
 compiles.
 
-Each unique element's atomic problem is solved ON THE HOST CPU (tiny system;
-forcing ``jax.default_device`` to a CPU device keeps the ~45 s/program TPU
-remote-compile latency out of the guess path) with a fractional-occupation
-restricted SCF: electrons fill orbitals in energy order, degenerate groups
-(p/d shells of the spherically symmetric atom) share electrons equally, which
-keeps the atomic density spherically averaged and the iteration smooth.
+Each unique element's atomic problem is a fractional-occupation restricted
+SCF: electrons fill orbitals in energy order, degenerate groups (p/d shells
+of the spherically symmetric atom) share electrons equally, which keeps the
+atomic density spherically averaged and the iteration smooth. The atomic
+integrals come from the production JAX engine ON THE CPU backend — three
+execution strategies, tried in order:
+
+1. on-disk cache (~/.cache/qchem_rs_tpu/sad): densities are tiny and
+   geometry-free; one compute per (basis-element content, Z, spherical) ever;
+2. in-process ``jax.default_device(cpu)`` (tests, CLI, CPU hosts);
+3. a single batched CHILD PROCESS with JAX_PLATFORMS=cpu for environments
+   whose jax registers NO cpu backend at all (the axon/TPU tunnel pins
+   JAX_PLATFORMS=axon — ``jax.devices("cpu")`` raises there, the round-5
+   session's first headline attempt failed exactly this way), where solving
+   on the TPU instead would pay ~45 s/program remote compiles for throwaway
+   atomic programs.
 
 Energy accuracy of the atomic solver is irrelevant — only the density is
 consumed, and DIIS absorbs its imperfections within the first few molecular
@@ -22,14 +32,24 @@ iterations.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import pickle
+import subprocess
+import sys
+import tempfile
 from weakref import WeakKeyDictionary
 
 import numpy as np
 
-# (Z, spherical, max_contraction_signature) -> atomic density, per basis set.
-# Keyed weakly by the BasisSet object so entries die with it.
+# (Z, spherical) -> atomic density, per BasisSet object (weak: entries die
+# with the basis). First-level cache; misses go to disk, then to a solver.
 _ATOM_CACHE: "WeakKeyDictionary[object, dict]" = WeakKeyDictionary()
+
+def _disk_dir() -> str:
+    return os.environ.get(
+        "QCHEM_SAD_CACHE", os.path.expanduser("~/.cache/qchem_rs_tpu/sad")
+    )
 
 
 def _fractional_occupations(w: np.ndarray, n_electrons: int,
@@ -57,21 +77,41 @@ def _fractional_occupations(w: np.ndarray, n_electrons: int,
     return occ
 
 
-def _atomic_density(basis, Z: int, spherical: bool) -> np.ndarray:
-    """Spherically-averaged fractional-occupation RHF density of the neutral
-    atom ``Z`` in ``basis``. Pure host/CPU work (numpy SCF over CPU-computed
-    integrals)."""
+def _scf_from_integrals(S, H, V, Z: int) -> np.ndarray:
+    """Host numpy fractional-occupation SCF given dense atomic integrals."""
+    sw, U = np.linalg.eigh(S)
+    X = (U / np.sqrt(sw)[None, :]) @ U.T
+    n = S.shape[0]
+    D = np.zeros((n, n))
+    mix = 0.5  # fixed damping: fractional occupations can ring without it
+    for _ in range(60):
+        J = np.einsum("ijkl,kl->ij", V, D)
+        K = np.einsum("ikjl,kl->ij", V, D)
+        F = H + J - 0.5 * K
+        w, Cp = np.linalg.eigh(X.T @ F @ X)
+        C = X @ Cp
+        occ = _fractional_occupations(w, Z)
+        D_new = (C * occ[None, :]) @ C.T
+        delta = np.max(np.abs(D_new - D))
+        D = D + mix * (D_new - D)
+        if delta < 1e-7:
+            break
+    return D
+
+
+def compute_atomic_density(basis, Z: int, spherical: bool) -> np.ndarray:
+    """Solve the neutral atom ``Z`` on the jax CPU backend (must be callable
+    — see _atomic_densities for the strategy cascade). The XLA f64 tile
+    kernel is forced while the engine exists: kernel selection keys off
+    jax.default_backend() (possibly 'tpu' here) but these programs compile
+    for the CPU device, where the Mosaic kernel cannot run."""
     import jax
     import jax.numpy as jnp
 
     from qchem_rs_tpu.utils.system import Atom, MolecularSystem
 
-    system = MolecularSystem([Atom(Z, np.zeros(3))], basis, spherical=spherical)
+    system = MolecularSystem([Atom(Z, np.zeros(3))], basis, spherical=False)
     cpu = jax.devices("cpu")[0]
-    # force the XLA f64 tile kernel while building the atomic integrals:
-    # kernel-mode selection keys off jax.default_backend() (still "tpu" here)
-    # but these programs compile for the CPU device, where the Mosaic kernel
-    # cannot run
     prev_kernel = os.environ.get("QCHEM_KERNEL")
     os.environ["QCHEM_KERNEL"] = "f64"
     try:
@@ -91,28 +131,103 @@ def _atomic_density(basis, Z: int, spherical: bool) -> np.ndarray:
         else:
             os.environ["QCHEM_KERNEL"] = prev_kernel
 
-    n = S.shape[0]
-    # Löwdin orthogonalization on the host
-    sw, U = np.linalg.eigh(S)
-    X = (U / np.sqrt(sw)[None, :]) @ U.T
+    if spherical:
+        from qchem_rs_tpu.ops.spherical import system_transform
 
-    D = np.zeros((n, n))
-    occ = None
-    mix = 0.5  # fixed damping; atoms are benign but fractional occupations
-    # can ring without it
-    for _ in range(60):
-        J = np.einsum("ijkl,kl->ij", V, D)
-        K = np.einsum("ikjl,kl->ij", V, D)
-        F = H + J - 0.5 * K
-        w, Cp = np.linalg.eigh(X.T @ F @ X)
-        C = X @ Cp
-        occ = _fractional_occupations(w, Z)
-        D_new = (C * occ[None, :]) @ C.T
-        delta = np.max(np.abs(D_new - D))
-        D = D + mix * (D_new - D)
-        if delta < 1e-7:
-            break
-    return D
+        T = np.asarray(
+            system_transform(
+                MolecularSystem([Atom(Z, np.zeros(3))], basis, spherical=True)
+            )
+        )
+        S = T.T @ S @ T
+        H = T.T @ H @ T
+        V = np.einsum("pqrs,pi,qj,rk,sl->ijkl", V, T, T, T, T, optimize=True)
+    return _scf_from_integrals(S, H, V, Z)
+
+
+def _element_fingerprint(basis, Z: int, spherical: bool) -> str:
+    """Content hash of element Z's shells (l, exponents, coefficients):
+    densities are shareable across basis objects/files with identical
+    element data."""
+    h = hashlib.sha256()
+    h.update(f"sad-v1|{Z}|{int(spherical)}".encode())
+    for spec in basis.shells_for(Z):
+        h.update(str(spec.l).encode())
+        h.update(np.asarray(spec.exponents, np.float64).tobytes())
+        h.update(np.asarray(spec.coefficients, np.float64).tobytes())
+    return h.hexdigest()[:24]
+
+
+def _cpu_backend_available() -> bool:
+    try:
+        import jax
+
+        jax.devices("cpu")
+        return True
+    except Exception:
+        return False
+
+
+def _solve_in_subprocess(basis, zs: list[int], spherical: bool) -> dict:
+    """One batched child with JAX_PLATFORMS=cpu: unpickles the basis, solves
+    every requested element, returns densities via an npz file."""
+    with tempfile.TemporaryDirectory(prefix="qchem_sad_") as td:
+        bpath = os.path.join(td, "basis.pkl")
+        opath = os.path.join(td, "out.npz")
+        with open(bpath, "wb") as fh:
+            pickle.dump(basis, fh)
+        code = (
+            "import pickle, sys, numpy as np\n"
+            f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})\n"
+            f"basis = pickle.load(open({bpath!r}, 'rb'))\n"
+            "from qchem_rs_tpu.models.sad import compute_atomic_density\n"
+            f"out = {{str(z): compute_atomic_density(basis, z, {spherical!r})"
+            f" for z in {zs!r}}}\n"
+            f"np.savez({opath!r}, **out)\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("XLA_FLAGS", None)  # no virtual-device topology inheritance
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env,
+            capture_output=True, text=True, timeout=1200,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"SAD subprocess failed rc={proc.returncode}: "
+                f"{(proc.stderr or '')[-800:]}"
+            )
+        with np.load(opath) as data:
+            return {int(k): np.asarray(v) for k, v in data.items()}
+
+
+def _atomic_densities(basis, zs: list[int], spherical: bool) -> dict:
+    """Densities for the requested elements: disk cache -> in-process jax
+    CPU -> batched subprocess (axon-locked processes)."""
+    out: dict[int, np.ndarray] = {}
+    missing: list[int] = []
+    cache_dir = _disk_dir()
+    fps = {Z: _element_fingerprint(basis, Z, spherical) for Z in zs}
+    for Z in zs:
+        path = os.path.join(cache_dir, fps[Z] + ".npy")
+        try:
+            out[Z] = np.load(path)
+        except (OSError, ValueError):
+            missing.append(Z)
+    if missing:
+        if _cpu_backend_available():
+            solved = {
+                Z: compute_atomic_density(basis, Z, spherical) for Z in missing
+            }
+        else:
+            solved = _solve_in_subprocess(basis, missing, spherical)
+        os.makedirs(cache_dir, exist_ok=True)
+        for Z, D in solved.items():
+            # np.save appends .npy when absent — name the temp accordingly
+            tmp = os.path.join(cache_dir, f".{fps[Z]}.{os.getpid()}.tmp.npy")
+            np.save(tmp, D)
+            os.replace(tmp, os.path.join(cache_dir, fps[Z] + ".npy"))
+        out.update(solved)
+    return out
 
 
 def _atom_spans(system) -> list[tuple[int, int, int]]:
@@ -135,13 +250,19 @@ def sad_guess(system, charge: int = 0) -> np.ndarray:
     """Block-diagonal SAD density for ``system``, scaled so Tr[D S] matches
     the target electron count (neutral-atom sum minus ``charge``)."""
     per_basis = _ATOM_CACHE.setdefault(system.basis, {})
+    spans = _atom_spans(system)
+    need = sorted(
+        {Z for Z, _, _ in spans if (Z, system.spherical) not in per_basis}
+    )
+    if need:
+        solved = _atomic_densities(system.basis, need, system.spherical)
+        for Z, D in solved.items():
+            per_basis[(Z, system.spherical)] = D
+
     n = system.n_basis()
     D = np.zeros((n, n))
-    for Z, off, nao in _atom_spans(system):
-        key = (Z, system.spherical)
-        Da = per_basis.get(key)
-        if Da is None:
-            Da = per_basis[key] = _atomic_density(system.basis, Z, system.spherical)
+    for Z, off, nao in spans:
+        Da = per_basis[(Z, system.spherical)]
         if Da.shape[0] != nao:  # defensive: span bookkeeping must agree
             raise RuntimeError(
                 f"SAD atom block mismatch for Z={Z}: {Da.shape[0]} vs {nao}"
@@ -150,13 +271,23 @@ def sad_guess(system, charge: int = 0) -> np.ndarray:
 
     n_target = system.n_electrons(charge)
     if charge != 0 and n_target > 0:
-        import jax.numpy as jnp  # S in the molecular geometry for Tr[D S]
-        import jax
+        # molecular overlap for Tr[D S] (charged systems only): prefer the
+        # CPU backend; on an axon-locked process fall through to the default
+        # device — one small eager op, acceptable for this corner case
+        if _cpu_backend_available():
+            import jax
+            import jax.numpy as jnp
 
-        with jax.default_device(jax.devices("cpu")[0]):
+            with jax.default_device(jax.devices("cpu")[0]):
+                from qchem_rs_tpu.ops import one_electron
+
+                S = np.asarray(
+                    one_electron.overlap(system, jnp.asarray(system.positions))
+                )
+        else:
             from qchem_rs_tpu.ops import one_electron
 
-            S = np.asarray(one_electron.overlap(system, jnp.asarray(system.positions)))
+            S = np.asarray(one_electron.overlap(system))
         n_sad = float(np.sum(D * S))
         if n_sad > 0:
             D *= n_target / n_sad

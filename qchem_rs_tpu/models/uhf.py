@@ -127,6 +127,14 @@ def _uhf_loop(
             # commutator norm max|FDS - SDF| over both spins (cf. models/rhf.py)
             rms = jnp.max(jnp.abs(err))
             conv = rms < epsilon
+        elif metric.startswith("composite"):
+            # noise-aware stop (models/scf.py): |dE| gated on the spin-mean
+            # diagonal density RMS, two consecutive passes below epsilon
+            guard = scf.composite_guard(metric)
+            de = jnp.abs(energy - st.energy)
+            diag = jnp.mean(scf.density_rms(d_change, "diag_rms"))
+            rms = jnp.where(diag < guard, de, jnp.inf)
+            conv = (rms < epsilon) & (st.rms < epsilon)
         elif metric == "diag_rms":
             per_spin_rms = scf.density_rms(d_change, metric)  # (2,)
             # uhf.rs:137-139: average over spins, then halve AGAIN in the test
@@ -244,7 +252,7 @@ def _uhf_step_program(config: HartreeFockConfig, nocc):
     level_shift = config.level_shift
 
     @jax.jit
-    def step(H, X, S, D, diis, J, K, prev_e):
+    def step(H, X, S, D, diis, J, K, prev_e, prev_rms):
         n = H.shape[0]
         occ_mask = jnp.stack(
             [jnp.arange(n) < nocc[0], jnp.arange(n) < nocc[1]]
@@ -270,6 +278,12 @@ def _uhf_step_program(config: HartreeFockConfig, nocc):
                 d_change=d_change,
             )
             conv = rms < config.epsilon
+        elif metric.startswith("composite"):
+            guard = scf.composite_guard(metric)
+            de = jnp.abs(energy - prev_e)
+            diag = jnp.mean(scf.density_rms(d_change, "diag_rms"))
+            rms = jnp.where(diag < guard, de, jnp.inf)
+            conv = (rms < config.epsilon) & (prev_rms < config.epsilon)
         elif metric == "diag_rms":
             per_spin = scf.density_rms(d_change, metric)
             rms = jnp.sum(per_spin) / 2.0
@@ -321,7 +335,9 @@ def _uhf_scf_hostloop(
     passes = 0
     for _ in range(config.max_iterations + 1):
         J, K = jk_host(D)
-        D, diis, energy, rms, conv, w, C = step(H, X, S, D, diis, J, K, energy)
+        D, diis, energy, rms, conv, w, C = step(
+            H, X, S, D, diis, J, K, energy, rms
+        )
         passes += 1
         if config.verbose:
             print(f"iteration {passes - 1} - density rms {float(rms):03.3e}")

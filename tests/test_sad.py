@@ -109,3 +109,56 @@ def test_composite_guard_parses():
 
     assert composite_guard("composite") == 1e-6
     assert composite_guard("composite:1e-5") == 1e-5
+
+
+def test_composite_uhf_radical_matches_fixed_point():
+    system = load_reference_system("hydroxyl", "6-31G")
+    import dataclasses
+
+    base = HartreeFockConfig(
+        epsilon=1e-10, max_iterations=300, spin_multiplicity=2
+    )
+    tight = unrestricted_hartree_fock(system, base)
+    comp = unrestricted_hartree_fock(
+        system,
+        dataclasses.replace(
+            base, epsilon=1e-8, convergence_metric="composite",
+            initial_guess="sad",
+        ),
+    )
+    assert comp.converged
+    assert abs(comp.total_energy() - tight.total_energy()) < 1e-7
+
+
+def test_sad_subprocess_path_matches_inprocess(tmp_path, monkeypatch):
+    """The axon-locked fallback (no cpu backend in-process -> batched child
+    with JAX_PLATFORMS=cpu) must produce the same densities as the
+    in-process solver. This is the path the TPU bench exercises."""
+    from qchem_rs_tpu.models import sad as sad_mod
+    from qchem_rs_tpu.utils.basis import BasisSet
+
+    monkeypatch.setenv("QCHEM_SAD_CACHE", str(tmp_path))
+    basis = BasisSet.load("/root/repo/data/basis/STO-3G.json")
+    inproc = sad_mod.compute_atomic_density(basis, 8, False)
+    sub = sad_mod._solve_in_subprocess(basis, [1, 8], False)
+    assert set(sub) == {1, 8}
+    np.testing.assert_allclose(sub[8], inproc, atol=1e-9)
+
+
+def test_sad_disk_cache_round_trip(tmp_path, monkeypatch):
+    from qchem_rs_tpu.models import sad as sad_mod
+    from qchem_rs_tpu.utils.basis import BasisSet
+
+    monkeypatch.setenv("QCHEM_SAD_CACHE", str(tmp_path))
+    basis = BasisSet.load("/root/repo/data/basis/STO-3G.json")
+    first = sad_mod._atomic_densities(basis, [1], False)
+    import os
+
+    assert len(os.listdir(tmp_path)) == 1
+    # second call must be a pure disk hit: poison the solvers
+    monkeypatch.setattr(sad_mod, "compute_atomic_density",
+                        lambda *a: (_ for _ in ()).throw(AssertionError))
+    monkeypatch.setattr(sad_mod, "_solve_in_subprocess",
+                        lambda *a: (_ for _ in ()).throw(AssertionError))
+    again = sad_mod._atomic_densities(basis, [1], False)
+    np.testing.assert_array_equal(first[1], again[1])
