@@ -160,9 +160,11 @@ def mp2_pair_space(
             # reuse V2f instead of a second peak-memory tile build + mirror
             V2f = builder._prepared[0]
         else:
-            from qchem_rs_tpu.ops.fock_pair import _mirror
+            from qchem_rs_tpu.ops.fock_pair import mirror_inplace
 
-            V2f = jax.jit(_mirror, donate_argnums=(0,))(builder.engine.build())
+            V2f = jax.jit(mirror_inplace, donate_argnums=(0,))(
+                builder.engine.build()
+            )
 
         @jax.jit
         def contract(V2f, U):

@@ -73,6 +73,37 @@ def _mirror(V2):
     return jnp.where(r > c, V2.T, V2)
 
 
+def mirror_inplace(V2, block: int = 2048):
+    """V2f from the upper-valid V2 with NO second (M, M) buffer.
+
+    The elementwise ``where(r > c, V2.T, V2)`` form reads a full transpose,
+    so XLA cannot alias the donated input to the output — the runtime
+    prints "donated buffers were not usable: float64[M,M]" and the prepare
+    step holds TWO (M, M) buffers. At naphthalene/cc-pVDZ scale (M = 22272,
+    4 GB each) that plus W (6.4 GB) RESOURCE_EXHAUSTED a 16 GB chip
+    (round-5 session phase 4). This version fills the strictly-lower blocks
+    by transposing the mirrored upper blocks with dynamic_update_slice —
+    a carry-style program donation CAN alias — so peak is V2 + one
+    (block, block) temp."""
+    M = V2.shape[0]
+    nb = -(-M // block)
+    for bi in range(nb):  # target (lower-triangle) row block
+        r0 = bi * block
+        rh = min(block, M - r0)
+        for bj in range(bi + 1):
+            c0 = bj * block
+            cw = min(block, M - c0)
+            if bi == bj:
+                blk = jax.lax.dynamic_slice(V2, (r0, c0), (rh, cw))
+                r = jax.lax.broadcasted_iota(jnp.int32, (rh, cw), 0)
+                c = jax.lax.broadcasted_iota(jnp.int32, (rh, cw), 1)
+                blk = jnp.where(r > c, blk.T, blk)
+            else:
+                blk = jax.lax.dynamic_slice(V2, (c0, r0), (cw, rh)).T
+            V2 = jax.lax.dynamic_update_slice(V2, blk, (r0, c0))
+    return V2
+
+
 def build_w(V2f, pmap2, colA, colB):
     """Exchange-ordered W (nao^2, M) from the mirrored pair matrix by an
     AO-row scan: per row i, gather the (nao, M) slab of (ij|..) rows, expand
@@ -141,7 +172,7 @@ class PairSpaceFockBuilder:
     def _prep_jit(self):
         if not hasattr(self, "_pj"):
             def prep(V2):
-                V2f = _mirror(V2)
+                V2f = mirror_inplace(V2)
                 W = build_w(V2f, self._pmap2, self._colA, self._colB)
                 return V2f, W
 
@@ -234,7 +265,7 @@ class PairSpaceShardedFockBuilder(PairSpaceFockBuilder):
         # the integral FLOPs).
         if not hasattr(self, "_pj"):
             def prep(V2):
-                V2f = _mirror(V2)
+                V2f = mirror_inplace(V2)
                 W = build_w(V2f, self._pmap2, self._colA, self._colB)
                 return V2f, W
 

@@ -101,3 +101,19 @@ def test_pair_mode_alt_convergence_metrics(data_dir):
         )
         assert out.converged, metric
         assert abs(out.total_energy() - ref) < 1e-8, metric
+
+
+def test_mirror_inplace_matches_elementwise():
+    """mirror_inplace (donation-preserving block mirror) must equal the
+    elementwise where(r>c, V2.T, V2) form, including the ragged tail."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from qchem_rs_tpu.ops.fock_pair import _mirror, mirror_inplace
+
+    rng = np.random.default_rng(7)
+    for M, block in ((5, 2), (128, 32), (300, 128)):
+        A = np.triu(rng.standard_normal((M, M)))
+        want = np.asarray(_mirror(jnp.asarray(A)))
+        got = np.asarray(mirror_inplace(jnp.asarray(A), block=block))
+        np.testing.assert_array_equal(got, want)
