@@ -302,18 +302,21 @@ def run_configs(configs):
     import jax
 
     metric, eps = stop_rule(jax.default_backend())
-    # Round-5 default stop: SAD guess + the composite noise-aware rule
-    # (|dE| < 1e-8 Eh on two consecutive passes, gated on the diagonal
-    # density RMS settling below 1e-6) — the iteration levers measured in
-    # docs/PROFILE_r04.md §calibration. QCHEM_BENCH_METRIC/EPS/GUESS and
-    # data/calibration.json override. The reported JSON carries the energy
-    # deviation vs the recorded diag_rms@1e-8 fixed point so the stop rule's
-    # honesty is checkable in the artifact itself.
+    # Round-5 default stop: SAD guess + diag_rms@1e-8. The composite
+    # |dE|-plateau rule was MEASURED UNUSABLE on the TPU backend
+    # (2026-08-19 session phase 5: 145 iterations, because |dE| < 1e-8 on
+    # two consecutive passes almost never happens inside the ~1e-7
+    # emulated-f64 energy noise floor — the same failure class as the
+    # retired diis_err rule, docs/PROFILE_r04.md). On clean-f64 backends
+    # composite@1e-8 works (water/cc-pVDZ: 13 iterations, 2e-9 off the
+    # fixed point) and remains available via QCHEM_BENCH_METRIC=composite.
+    # The reported JSON carries the energy deviation vs the recorded
+    # fixed point so the stop rule's honesty is checkable in the artifact.
     guess = os.environ.get("QCHEM_BENCH_GUESS", "sad")
     cfg = HartreeFockConfig(
         epsilon=float(eps if eps is not None else 1e-8),
         max_iterations=150,
-        convergence_metric=metric or "composite",
+        convergence_metric=metric or "diag_rms",
         initial_guess=guess,
     )
     for mol, basis_path, tag, default_budget in configs:

@@ -254,3 +254,36 @@ def test_matrix_free_left_eigenvalues_match_right():
             res.excitation_energies,
             atol=1e-7,
         )
+
+
+def test_production_transition_moments_match_determinant_tier():
+    """eom_ccsd_transition_moments (matrix-free AD tier, incl. the
+    closed-form disconnected doubles piece) reproduces the EXACT
+    determinant-space biorthogonal strengths root by root, and its
+    ground-state dipole row equals the Lambda dipole."""
+    from qchem_rs_tpu.models.eom import (
+        eom_ccsd_properties,
+        eom_ccsd_transition_moments,
+    )
+
+    system = load_reference_system("water", "STO-3G")
+    config = HartreeFockConfig(epsilon=1e-10, max_iterations=100)
+    ref = eom_ccsd_properties(system, config, nstates=4, cc_epsilon=1e-11)
+    prod = eom_ccsd_transition_moments(
+        system, config, nstates=4, tol=1e-8, cc_epsilon=1e-11
+    )
+    np.testing.assert_allclose(
+        prod.excitation_energies, ref.excitation_energies[:4], atol=1e-6
+    )
+    # per-state summed strengths (directions can mix under degeneracy)
+    np.testing.assert_allclose(
+        prod.transition_strengths.sum(axis=1),
+        ref.transition_strengths[:4].sum(axis=1),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        prod.oscillator_strengths, ref.oscillator_strengths[:4], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        prod.ground_state_dipole, ref.ground_state_dipole, atol=1e-6
+    )

@@ -31,6 +31,12 @@ QCHEM_BENCH_WINDOW=1500 timeout 1600 python bench.py \
   > "$LOGDIR/bench_headline.json" 2> "$LOGDIR/bench_headline.log"
 echo "$(stamp) [1] rc=$? $(tail -c 600 "$LOGDIR/bench_headline.json")" | tee -a "$LOGDIR/session.log"
 
+echo "$(stamp) [1b] naphthalene pair retry (mirror_inplace OOM fix)" | tee -a "$LOGDIR/session.log"
+QCHEM_BENCH_ONLY=rhf_naphthalene_pair QCHEM_BENCH_WINDOW=2400 \
+  timeout 2500 python bench.py \
+  > "$LOGDIR/bench_naph.json" 2> "$LOGDIR/bench_naph.log"
+echo "$(stamp) [1b] rc=$? $(tail -c 600 "$LOGDIR/bench_naph.json")" | tee -a "$LOGDIR/session.log"
+
 echo "$(stamp) [2] benzene class profile" | tee -a "$LOGDIR/session.log"
 timeout 1800 python tools/class_profile.py benzene cc-pVDZ \
   > "$LOGDIR/class_profile_benzene.json" 2> "$LOGDIR/class_profile_benzene.log"
