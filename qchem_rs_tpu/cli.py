@@ -459,15 +459,25 @@ def cmd_eom(args) -> int:
                 print(f"state {i}: {w:0.6f} Eh  {w * HARTREE_TO_EV:8.4f} eV")
             return 0
         if args.oscillator_strengths:
-            from qchem_rs_tpu.models.eom import eom_ccsd_properties
+            if args.matrix_free:
+                # production tier: Davidson + AD transition moments (no
+                # determinant space; scales with ground-state CCSD)
+                from qchem_rs_tpu.models.eom import eom_ccsd_transition_moments
 
-            res = eom_ccsd_properties(
-                system, cfg, nstates=args.nstates, max_dim=args.max_dim
-            )
+                res = eom_ccsd_transition_moments(
+                    system, cfg, nstates=args.nstates
+                )
+                what = f"amplitude space {res.dimension}"
+            else:
+                from qchem_rs_tpu.models.eom import eom_ccsd_properties
+
+                res = eom_ccsd_properties(
+                    system, cfg, nstates=args.nstates, max_dim=args.max_dim
+                )
+                what = f"{res.dimension} determinants"
             elapsed = time.perf_counter() - start
             print(
-                f"eom-ccsd properties finished in {elapsed:0.2f}s "
-                f"({res.dimension} determinants)"
+                f"eom-ccsd properties finished in {elapsed:0.2f}s ({what})"
             )
             print(f"hartree fock energy: {res.scf_total_energy:3.6f}")
             print(f"ccsd total energy: {res.ccsd_total_energy:3.6f}")
