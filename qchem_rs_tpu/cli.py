@@ -382,16 +382,28 @@ def cmd_ccsd(args) -> int:
     if getattr(args, "dipole", False) and not open_shell:
         import numpy as np
 
-        from qchem_rs_tpu.models.cc_lambda import ccsd_dipole
+        if getattr(args, "relaxed", False):
+            from qchem_rs_tpu.models.cc_relaxed import ccsd_relaxed_dipole
 
-        p = ccsd_dipole(system, cfg, cc_epsilon=args.cc_epsilon)
-        d = float(np.linalg.norm(p.ccsd_dipole))
-        ds = float(np.linalg.norm(p.scf_dipole))
-        print(
-            f"ccsd dipole (unrelaxed, a.u.): [{p.ccsd_dipole[0]: .6f}, "
-            f"{p.ccsd_dipole[1]: .6f}, {p.ccsd_dipole[2]: .6f}]  "
-            f"|mu| = {d:.6f} (scf {ds:.6f})"
-        )
+            p = ccsd_relaxed_dipole(system, cfg, cc_epsilon=args.cc_epsilon)
+            d = float(np.linalg.norm(p.ccsd_dipole))
+            du = float(np.linalg.norm(p.ccsd_dipole_unrelaxed))
+            print(
+                f"ccsd dipole (relaxed, a.u.): [{p.ccsd_dipole[0]: .6f}, "
+                f"{p.ccsd_dipole[1]: .6f}, {p.ccsd_dipole[2]: .6f}]  "
+                f"|mu| = {d:.6f} (unrelaxed {du:.6f})"
+            )
+        else:
+            from qchem_rs_tpu.models.cc_lambda import ccsd_dipole
+
+            p = ccsd_dipole(system, cfg, cc_epsilon=args.cc_epsilon)
+            d = float(np.linalg.norm(p.ccsd_dipole))
+            ds = float(np.linalg.norm(p.scf_dipole))
+            print(
+                f"ccsd dipole (unrelaxed, a.u.): [{p.ccsd_dipole[0]: .6f}, "
+                f"{p.ccsd_dipole[1]: .6f}, {p.ccsd_dipole[2]: .6f}]  "
+                f"|mu| = {d:.6f} (scf {ds:.6f})"
+            )
     return 0
 
 
@@ -774,6 +786,11 @@ def main(argv=None) -> int:
     )
     # (--dipole is inherited from _common_flags; on ccsd it reports the
     # unrelaxed CC dipole via the AD Lagrangian instead of the SCF one)
+    p_cc.add_argument(
+        "--relaxed", action="store_true",
+        help="with --dipole: orbital-relaxed dipole via the z-vector method "
+        "(models/cc_relaxed.py; anchored to finite-field SCF+CCSD)",
+    )
     p_cc.set_defaults(fn=cmd_ccsd)
 
     p_fci = sub.add_parser(

@@ -42,6 +42,11 @@ timeout 1800 python tools/class_profile.py benzene cc-pVDZ \
   > "$LOGDIR/class_profile_benzene.json" 2> "$LOGDIR/class_profile_benzene.log"
 echo "$(stamp) [2] rc=$? $(tail -c 400 "$LOGDIR/class_profile_benzene.json")" | tee -a "$LOGDIR/session.log"
 
+echo "$(stamp) [2b] persistent-cache validation (small-program probe)" | tee -a "$LOGDIR/session.log"
+timeout 1500 python tools/validate_tpu_cache.py \
+  > "$LOGDIR/cache_validate.json" 2> "$LOGDIR/cache_validate.log"
+echo "$(stamp) [2b] rc=$? $(tail -c 400 "$LOGDIR/cache_validate.json")" | tee -a "$LOGDIR/session.log"
+
 echo "$(stamp) [3] A/B PL_VMEM=12MB" | tee -a "$LOGDIR/session.log"
 QCHEM_PL_VMEM=12582912 QCHEM_BENCH_ONLY=rhf_benzene_ccpvdz \
   QCHEM_BENCH_WINDOW=1500 QCHEM_BENCH_BUDGET=1300 timeout 1600 python bench.py \

@@ -30,21 +30,19 @@ import jax
 import qchem_rs_tpu  # installs the persistent-cache config
 from qchem_rs_tpu import BasisSet, MolecularSystem
 
-basis = BasisSet.load(os.path.join(%(root)r, "data", "basis", "cc-pVDZ.json"))
+basis = BasisSet.load(os.path.join(%(root)r, "data", "basis", "STO-3G.json"))
 system = MolecularSystem.load(
     os.path.join(%(root)r, "data", "mol", "water.json"), basis
 )
 from qchem_rs_tpu.ops.eri_tiled import TiledEriEngine
 
 t0 = time.perf_counter()
-engine = TiledEriEngine(system, 1e-12)
+# threshold=0: skip the Schwarz bound programs (they execute on device and
+# made the round-5 session's probe exceed its budget); one SMALL class-pair
+# program answers the serialization question just as well
+engine = TiledEriEngine(system, 0.0)
 programs = engine.programs()
-# compile the LARGEST class-pair program only (representative; keeps the
-# probe bounded)
-name, fn, spec = max(
-    (p for p in programs if p[0].startswith("v2_")),
-    key=lambda p: p[2][0].shape[0] if hasattr(p[2][0], "shape") else 0,
-)
+name, fn, spec = next(p for p in programs if p[0].startswith("v2_"))
 t1 = time.perf_counter()
 lowered = fn.lower(*spec)
 compiled = lowered.compile()
