@@ -232,3 +232,62 @@ def test_frequencies_thermo_flag(capsys):
     assert "thermochemistry (RRHO" in out
     assert "zero-point energy:" in out
     assert "entropy:" in out
+
+
+def test_rhf_guess_and_composite_flags(capsys):
+    rc = cli.main(
+        [
+            "rhf",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--epsilon", "1e-8",
+            "--guess", "sad",
+            "--convergence", "composite:1e-5",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "hartree fock energy: -1.117" in out
+
+
+def test_bad_convergence_metric_rejected(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(
+            [
+                "rhf",
+                "-b", f"{DATA_BASIS}/STO-3G.json",
+                "-m", f"{DATA_MOL}/hydrogen.json",
+                "--convergence", "bogus",
+            ]
+        )
+    assert "unknown convergence metric" in capsys.readouterr().err
+
+
+def test_ccsd_relaxed_dipole_flag(capsys):
+    rc = cli.main(
+        [
+            "ccsd",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--dipole", "--relaxed",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ccsd dipole (relaxed, a.u.):" in out
+
+
+def test_eom_matrix_free_oscillator_strengths(capsys):
+    rc = cli.main(
+        [
+            "eom",
+            "-b", f"{DATA_BASIS}/STO-3G.json",
+            "-m", f"{DATA_MOL}/hydrogen.json",
+            "--nstates", "2",
+            "--oscillator-strengths", "--matrix-free",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "amplitude space" in out
+    assert "f =" in out
