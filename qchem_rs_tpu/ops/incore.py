@@ -32,7 +32,14 @@ def precompile(programs, max_workers: int | None = None) -> dict:
 
     def _one(item):
         name, fn, args = item
-        return name, fn.lower(*args).compile()
+        t0 = time.perf_counter()
+        compiled = fn.lower(*args).compile()
+        if os.environ.get("QCHEM_COMPILE_LOG"):
+            import sys
+
+            print(f"# compile {name}: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        return name, compiled
 
     results: dict = {}
     failed = []

@@ -19,6 +19,8 @@ mkdir -p "$LOGDIR"
 cd "$(dirname "$0")/.."
 
 stamp() { date -u +%FT%TZ; }
+# per-program compile seconds in every child's stderr log (cold-start story)
+export QCHEM_COMPILE_LOG=1
 echo "$(stamp) session start" | tee -a "$LOGDIR/session.log"
 
 timeout 120 python -c "import jax; print(jax.devices())" \
@@ -38,7 +40,7 @@ QCHEM_BENCH_ONLY=rhf_naphthalene_pair QCHEM_BENCH_WINDOW=2400 \
 echo "$(stamp) [1b] rc=$? $(tail -c 600 "$LOGDIR/bench_naph.json")" | tee -a "$LOGDIR/session.log"
 
 echo "$(stamp) [2] benzene class profile" | tee -a "$LOGDIR/session.log"
-timeout 1800 python tools/class_profile.py benzene cc-pVDZ \
+QCHEM_COMPILE_WORKERS=4 timeout 1800 python tools/class_profile.py benzene cc-pVDZ \
   > "$LOGDIR/class_profile_benzene.json" 2> "$LOGDIR/class_profile_benzene.log"
 echo "$(stamp) [2] rc=$? $(tail -c 400 "$LOGDIR/class_profile_benzene.json")" | tee -a "$LOGDIR/session.log"
 
