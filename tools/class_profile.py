@@ -11,9 +11,15 @@ Usage:
     python tools/class_profile.py [molecule_or_element] [basis]
     python tools/class_profile.py Fe 6-31G_st        # default
     python tools/class_profile.py benzene cc-pVDZ
+    python tools/class_profile.py Fe 6-31G_st --flops-only
 
-Prints one JSON line per class-pair task (name, kernel, tiles, seconds,
-analytic GFLOP/s) and a summary with the f64-fallback time fraction.
+--flops-only: no compilation or device execution — prints each task's tile
+count and analytic FLOPs plus the f64-fallback FLOP fraction. Pair with
+QCHEM_KERNEL=pallas on any backend to reproduce the TPU kernel-selection
+mix (the L > QCHEM_PL_MAX_L fallback) without a chip: the round-5 TPU
+session's timed Fe profile starved in precompile (the f-shell programs
+alone exceed 40 min of axon remote compiles), so the FLOP share is the
+honest quantification available per unit cost.
 """
 
 import json
@@ -29,9 +35,20 @@ _SYMBOLS = {"H": 1, "C": 6, "N": 7, "O": 8, "Cl": 17, "Sc": 21, "Ti": 22,
             "V": 23, "Cr": 24, "Mn": 25, "Fe": 26, "Co": 27, "Ni": 28}
 
 
+def _task_kernel(name: str) -> str:
+    return (
+        "f32" if name.endswith("_f32")
+        else "df" if name.endswith("_df")
+        else "pallas" if name.endswith("_pl")
+        else "f64"
+    )
+
+
 def main() -> int:
-    what = sys.argv[1] if len(sys.argv) > 1 else "Fe"
-    basis_name = sys.argv[2] if len(sys.argv) > 2 else "6-31G_st"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flops_only = "--flops-only" in sys.argv
+    what = args[0] if args else "Fe"
+    basis_name = args[1] if len(args) > 1 else "6-31G_st"
 
     import numpy as np
 
@@ -50,6 +67,35 @@ def main() -> int:
     import jax.numpy as jnp
 
     engine = TiledEriEngine(system, 1e-12)
+
+    if flops_only:
+        metas = engine.layout.metas
+        rows = []
+        for name, _fn, segments, (i1, i2, _okind) in engine._tasks:
+            m1, m2 = metas[i1], metas[i2]
+            T1, T2 = _tile_shapes(m1, m2)
+            ntiles = sum(len(xs[0]) for xs in segments)
+            rows.append({
+                "class": name, "kernel": _task_kernel(name),
+                "L_total": m1.la + m1.lb + m2.la + m2.lb,
+                "tiles": ntiles,
+                "gflops": round(_tile_flops(m1, m2, T1, T2) * ntiles / 1e9, 3),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+        total = sum(r["gflops"] for r in rows)
+        fallback = sum(r["gflops"] for r in rows if r["kernel"] == "f64")
+        print(json.dumps({
+            "summary": True, "flops_only": True,
+            "system": what, "basis": basis_name, "nao": system.n_basis(),
+            "kernel_mode_env": os.environ.get("QCHEM_KERNEL"),
+            "build_gflops": round(total, 3),
+            "f64_fallback_gflops": round(fallback, 3),
+            "f64_fallback_flop_fraction": (
+                round(fallback / total, 4) if total else None
+            ),
+            "n_classes": len(rows),
+        }), flush=True)
+        return 0
     from qchem_rs_tpu.models.rhf import precompile_rhf  # noqa: F401 (docs)
     from qchem_rs_tpu.ops.incore import precompile
 
@@ -81,12 +127,7 @@ def main() -> int:
         ntiles = sum(len(xs[0]) for xs in segments)
         T1, T2 = _tile_shapes(m1, m2)
         gflops = _tile_flops(m1, m2, T1, T2) * ntiles / 1e9
-        kernel = (
-            "f32" if name.endswith("_f32")
-            else "df" if name.endswith("_df")
-            else "pallas" if name.endswith("_pl")
-            else "f64"
-        )
+        kernel = _task_kernel(name)
         L = m1.la + m1.lb + m2.la + m2.lb
         rows.append({
             "class": name, "kernel": kernel, "L_total": L,
