@@ -312,7 +312,14 @@ def run_configs(configs):
     # fixed point) and remains available via QCHEM_BENCH_METRIC=composite.
     # The reported JSON carries the energy deviation vs the recorded
     # fixed point so the stop rule's honesty is checkable in the artifact.
-    guess = os.environ.get("QCHEM_BENCH_GUESS", "sad")
+    # Guess default is PER BACKEND: on the TPU the SAD start makes the
+    # diag_rms metric wander the noise floor LONGER than Hückel (measured
+    # 2026-08-19: benzene/cc-pVDZ SAD 142 iters / 39.0 s vs Hückel 50
+    # iters / 26.3 s, both diag_rms@1e-8, fixed-point dev 1.6e-7 vs 1e-9)
+    # — better start, worse trajectory for this noise-sensitive metric.
+    # On clean-f64 backends SAD is strictly better (water/cc-pVDZ 13 iters).
+    default_guess = "huckel" if jax.default_backend() == "tpu" else "sad"
+    guess = os.environ.get("QCHEM_BENCH_GUESS", default_guess)
     cfg = HartreeFockConfig(
         epsilon=float(eps if eps is not None else 1e-8),
         max_iterations=150,

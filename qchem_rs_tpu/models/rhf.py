@@ -538,7 +538,7 @@ def restricted_hartree_fock(
             builder = _direct_tools(system, config, "pair")
             t1 = time.perf_counter()
             V2f, W = builder.prepare(force=True)
-            W.block_until_ready()
+            (W if W is not None else V2f).block_until_ready()
             timings["eri_s"] = time.perf_counter() - t1
 
             # the jitted SCF program is cached on the builder keyed by the

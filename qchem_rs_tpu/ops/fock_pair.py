@@ -30,6 +30,7 @@ contiguous (nao, M) blocks — pair-space rows would scatter.
 from __future__ import annotations
 
 from functools import partial
+import os
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +123,30 @@ def build_w(V2f, pmap2, colA, colB):
     return W.reshape(nao * nao, V2f.shape[1])
 
 
+def exchange_lean(V2f, pmap2, D):
+    """K directly from the mirrored pair matrix: the SAME AO-row gather
+    pattern as build_w, but contracted with the density IMMEDIATELY instead
+    of stored — K_ik = sum_jl (ij|kl) D_jl with no (nao^2, M) matrix.
+
+    Per call this re-reads V2f once through gathers (~2 x V2f bytes of HBM
+    traffic, nao^3-scale MACs) — tens of ms at naphthalene scale — in
+    exchange for dropping W's nao^2 x M buffer (7.1 GB at naphthalene/
+    cc-pVDZ, which with V2f RESOURCE_EXHAUSTED the 16 GB chip in the
+    round-5 sessions). Traceable; lives inside the jitted SCF loop."""
+    nao = pmap2.shape[0]
+    pflat = pmap2.reshape(-1)
+
+    def row(_, pmap_i):
+        y = jnp.take(V2f, pmap_i, axis=0)  # (nao_j, M)
+        yf = jnp.take(y, pflat, axis=1)  # (nao_j, nao_k * nao_l)
+        # yt[k, j, l] = (ij|kl);  K_row[k] = sum_jl yt[k,j,l] D[j,l]
+        yt = yf.reshape(nao, nao, nao).transpose(1, 0, 2)
+        return None, jnp.einsum("kjl,jl->k", yt, D)
+
+    _, K = jax.lax.scan(row, None, pmap2)
+    return K  # (nao, nao)
+
+
 class PairSpaceFockBuilder:
     """J/K builder backed by the pair-space matrices V2f and W.
 
@@ -142,6 +167,7 @@ class PairSpaceFockBuilder:
         threshold: float = 1e-12,
         positions=None,
         engine: TiledEriEngine | None = None,
+        lean: bool | None = None,
     ):
         self.system = system
         self.nao = system.n_basis_cart()
@@ -150,6 +176,22 @@ class PairSpaceFockBuilder:
         )
         layout = self.engine.layout
         self.M = layout.M
+        # lean mode: skip the W matrix, compute K per iteration from V2f
+        # (exchange_lean). Auto: on when V2f + W would overrun the device
+        # budget (QCHEM_PAIR_BUDGET bytes; accelerator default 12 GB of the
+        # v5e's 16 — naphthalene/cc-pVDZ needs this, benzene does not).
+        if lean is None:
+            env = os.environ.get("QCHEM_PAIR_LEAN")
+            if env is not None:
+                lean = env == "1"
+            else:
+                budget = float(os.environ.get(
+                    "QCHEM_PAIR_BUDGET",
+                    12e9 if jax.default_backend() != "cpu" else 48e9,
+                ))
+                need = 8.0 * (self.M * self.M + self.nao**2 * self.M)
+                lean = need > budget
+        self.lean = lean
         row_i, row_j, dup = pair_row_ao(layout)
         nao = self.nao
         pad = row_i < 0
@@ -171,10 +213,14 @@ class PairSpaceFockBuilder:
     @property
     def _prep_jit(self):
         if not hasattr(self, "_pj"):
-            def prep(V2):
-                V2f = mirror_inplace(V2)
-                W = build_w(V2f, self._pmap2, self._colA, self._colB)
-                return V2f, W
+            if self.lean:
+                def prep(V2):
+                    return mirror_inplace(V2), None
+            else:
+                def prep(V2):
+                    V2f = mirror_inplace(V2)
+                    W = build_w(V2f, self._pmap2, self._colA, self._colB)
+                    return V2f, W
 
             self._pj = jax.jit(prep, donate_argnums=(0,))
         return self._pj
@@ -198,14 +244,17 @@ class PairSpaceFockBuilder:
 
     def jk_cart(self, D, V2f, W):
         """Cartesian-AO J and K from density D (nao, nao). Traceable; V2f/W
-        arrive as operands."""
+        arrive as operands (W is None in lean mode -> row-scan exchange)."""
         nao = self.nao
         Dflat = D.reshape(-1)
         dJ = jnp.take(Dflat, self._pidx) * self._wj  # (M,)
         Jp = V2f @ dJ  # (M,)
         J = jnp.take(Jp, self._pmap2.reshape(-1)).reshape(nao, nao)
-        dK = jnp.take(Dflat, self._pidx) * self._wk
-        K = (W @ dK).reshape(nao, nao)
+        if W is None:
+            K = exchange_lean(V2f, self._pmap2, D)
+        else:
+            dK = jnp.take(Dflat, self._pidx) * self._wk
+            K = (W @ dK).reshape(nao, nao)
         return J, K
 
     def jk_sph(self, D, V2f, W):
@@ -244,6 +293,10 @@ class PairSpaceShardedFockBuilder(PairSpaceFockBuilder):
     """
 
     def __init__(self, system, mesh, axis: str = "q", **kw):
+        # sharded columns already divide the footprint by ndev; the lean
+        # trade (per-iteration gathers for W's memory) is a single-device
+        # concern — keep the matvec form unless explicitly requested
+        kw.setdefault("lean", False)
         super().__init__(system, **kw)
         from jax.sharding import NamedSharding, PartitionSpec as P
 

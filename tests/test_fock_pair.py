@@ -38,6 +38,28 @@ def test_pair_jk_matches_dense(data_dir, basis, mol):
     assert np.abs(np.asarray(K) - K_ref).max() / scale < 1e-11
 
 
+def test_pair_lean_exchange_matches(data_dir):
+    """lean mode (no W matrix — per-call row-scan exchange, the >12 GB
+    naphthalene/cc-pVDZ memory fix) must produce identical J and
+    near-identical K."""
+    b = BasisSet.load(f"{data_dir}/basis/6-31G.json")
+    s = MolecularSystem.load(f"{data_dir}/mol/water.json", b)
+    nao = s.n_basis()
+    rng = np.random.default_rng(7)
+    D = rng.standard_normal((nao, nao))
+    D = D + D.T
+
+    full = PairSpaceFockBuilder(s, threshold=1e-14, lean=False)
+    lean = PairSpaceFockBuilder(s, threshold=1e-14, lean=True)
+    assert lean.lean and not full.lean
+    assert lean.prepare()[1] is None
+    Jf, Kf = full.jk(jnp.asarray(D))
+    Jl, Kl = lean.jk(jnp.asarray(D))
+    assert np.abs(np.asarray(Jf) - np.asarray(Jl)).max() == 0.0
+    scale = max(np.abs(np.asarray(Kf)).max(), 1.0)
+    assert np.abs(np.asarray(Kf) - np.asarray(Kl)).max() / scale < 1e-13
+
+
 def test_pair_jk_screening_consistent(data_dir):
     """A loose-but-sane Schwarz threshold must not move J/K beyond ~tau."""
     b = BasisSet.load(f"{data_dir}/basis/STO-3G.json")
