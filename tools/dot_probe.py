@@ -13,7 +13,10 @@ real backend:
   full_s   : tile_vals_pallas end to end (sanity: ~= kernel + dots)
 
 Usage:
-    python tools/dot_probe.py [molecule] [basis] [reps]
+    python tools/dot_probe.py [molecule] [basis] [reps] [class,class,...]
+The optional 4th arg limits probing to named class pairs (e.g.
+"00_00,00_10,10_10,10_11,11_11") — each probed class costs 3-4 extra TPU
+program compiles, so bound the list on the axon backend.
 Prints one JSON line per class pair + a summary with the dot share.
 """
 
@@ -30,6 +33,7 @@ def main() -> int:
     mol = sys.argv[1] if len(sys.argv) > 1 else "benzene"
     basis_name = sys.argv[2] if len(sys.argv) > 2 else "cc-pVDZ"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
     import jax
     import jax.numpy as jnp
@@ -80,6 +84,8 @@ def main() -> int:
     seen = set()
     for name, _fn, segments, (i1, i2, okind) in eng._tasks:
         if okind != "df" or (i1, i2) in seen:
+            continue
+        if only is not None and not any(o in name for o in only):
             continue
         seen.add((i1, i2))
         m1, m2 = metas[i1], metas[i2]

@@ -52,6 +52,13 @@ def main() -> int:
     n = system.n_basis()
 
     ones, engine = _incore_tools(system, cfg)
+    if os.environ.get("QCHEM_COMPILE_WORKERS", "1") != "1":
+        from qchem_rs_tpu.ops.incore import precompile
+
+        engine._compiled = {
+            k: v for k, v in precompile(engine.programs()).items()
+            if k.startswith("v2_") or k.startswith("finish")
+        }
     pos = jnp.asarray(system.positions)
     S = ones["S"](pos)
     H, X = ones["prep"](S, ones["T"](pos), ones["V"](pos))
