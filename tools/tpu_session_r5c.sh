@@ -27,6 +27,12 @@ QCHEM_TILE_BUDGET=2147483648 QCHEM_BENCH_ONLY=rhf_benzene_ccpvdz \
   > "$LOGDIR/bench_budget2g.json" 2> "$LOGDIR/bench_budget2g.log"
 echo "$(stamp) [1] rc=$? $(tail -c 600 "$LOGDIR/bench_budget2g.json")" | tee -a "$LOGDIR/session.log"
 
+echo "$(stamp) [1b] repeat of [1]: does the persistent cache collapse cold_s?" | tee -a "$LOGDIR/session.log"
+QCHEM_TILE_BUDGET=2147483648 QCHEM_BENCH_ONLY=rhf_benzene_ccpvdz \
+  QCHEM_BENCH_WINDOW=900 QCHEM_BENCH_BUDGET=800 timeout 1000 python bench.py \
+  > "$LOGDIR/bench_budget2g_repeat.json" 2> "$LOGDIR/bench_budget2g_repeat.log"
+echo "$(stamp) [1b] rc=$? $(tail -c 600 "$LOGDIR/bench_budget2g_repeat.json")" | tee -a "$LOGDIR/session.log"
+
 echo "$(stamp) [2] SCF trajectory (stop-rule data): huckel + sad" | tee -a "$LOGDIR/session.log"
 QCHEM_COMPILE_WORKERS=4 timeout 1500 python tools/trajectory.py benzene cc-pVDZ 60 huckel sad \
   > "$LOGDIR/trajectory.json" 2> "$LOGDIR/trajectory.log"
