@@ -52,6 +52,9 @@ T_START = time.monotonic()
 FIXED_POINTS = {
     "rhf_benzene_ccpvdz": -230.72299497,
     "rhf_water_ccpvdz": -76.02713907,
+    # Cartesian pair-mode CPU fixed point, round 3 (docs/PROFILE_r03.md)
+    "rhf_naphthalene_pair": -383.37852231,
+    "rhf_naphthalene_direct": -383.37852231,
 }
 
 

@@ -787,10 +787,14 @@ class TiledEriEngine:
     # --- expansions ---------------------------------------------------------
 
     def _mirror(self, V2):
-        M = V2.shape[0]
-        r = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-        return jnp.where(r > c, V2.T, V2)
+        # block-wise in-place mirror (ops/fock_pair.mirror_inplace): the
+        # elementwise where(r > c, V2.T, V2) form reads a full transpose, so
+        # XLA cannot alias the donated V2 — the finish programs then hold
+        # TWO (M, M) buffers (the "donated buffers were not usable"
+        # warning every benzene bench printed)
+        from qchem_rs_tpu.ops.fock_pair import mirror_inplace
+
+        return mirror_inplace(V2)
 
     # --- spherical pair space ------------------------------------------------
 
