@@ -202,6 +202,63 @@ def _kernel_htab(Lb, Lk, BT1, *refs):
         out_l[h, 0, 0] = v[1]
 
 
+def _kernel_fused_e1(Lb, Lk, BT1, A, *refs):
+    """grid (T1//BT1, c, a) — note the ORDER: ia is the innermost/fastest
+    grid dim so the output block (indexed by (t1, ic) only) stays VMEM-
+    resident across the bra-primitive loop and ACCUMULATES the contraction
+
+        out[alpha, s2] += sum_s1 E1[bt1, ia, alpha, s1] * R2m[s1, s2]
+
+    in df arithmetic. This eliminates the XLA f64 dot1 (the lane-starved
+    N=A contraction that is ~80% of the dot FLOPs) and shrinks the kernel
+    output from (a*S1, c*S2, ...) to (A, c*S2, ...).
+
+    E1 arrives as (hi, lo) f32 pairs shaped (T1, a, A*S1) — the bra columns
+    are extracted by the same one-hot masked lane reduction the bra p/P
+    pick uses (static column index; dynamic lane indexing is not lowerable,
+    and this known-lowerable pattern costs 3 VPU ops per (alpha, s1), paid
+    once per grid step)."""
+    bra_refs, ket_refs = refs[:8], refs[8:16]
+    e1h_ref, e1l_ref = refs[16], refs[17]
+    out_h, out_l = refs[18], refs[19]
+    S1, S2 = nhermite(Lb), nhermite(Lk)
+    idx, sign = _r2_gather(Lb, Lk)
+    T2 = ket_refs[0].shape[-1]
+    t1, ic, ia = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    vals = _brick_vals(Lb + Lk, BT1, T2, bra_refs, ket_refs, ia, t1, ic)
+
+    # hoisted bra-coefficient extraction: (BT1, 1) df per (alpha, s1); the
+    # e1 refs are blocked to (BT1, 1, A*S1) per grid step by their BlockSpec
+    ASl = e1h_ref.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BT1, ASl), 1)
+    eh_blk = e1h_ref[:, 0, :]
+    el_blk = e1l_ref[:, 0, :]
+    def col(blk, k):
+        return jnp.sum(jnp.where(lane == k, blk, 0.0), axis=1, keepdims=True)
+
+    @pl.when(ia == 0)
+    def _():
+        z = jnp.zeros((A, S2, BT1, T2), jnp.float32)
+        out_h[...] = z
+        out_l[...] = z
+
+    for alpha in range(A):
+        e1 = [
+            (col(eh_blk, alpha * S1 + s1), col(el_blk, alpha * S1 + s1))
+            for s1 in range(S1)
+        ]
+        for s2 in range(S2):
+            acc = dfl.mul(e1[0], vals[int(idx[0, s2])])
+            for s1 in range(1, S1):
+                acc = dfl.madd(acc, e1[s1], vals[int(idx[s1, s2])])
+            if sign[s2] < 0:
+                acc = dfl.neg(acc)
+            cur = (out_h[alpha, s2], out_l[alpha, s2])
+            new = dfl.add_(cur, acc)
+            out_h[alpha, s2] = new[0]
+            out_l[alpha, s2] = new[1]
+
+
 def _pick_bt1(T1: int, block_bytes_per_row: int) -> int:
     """Biggest multiple-of-8 divisor of T1 whose double-buffered output
     block stays under the VMEM budget (T1 itself when not 8-divisible)."""
@@ -289,6 +346,80 @@ def r2m_tiles_pallas(Lb: int, Lk: int, p1, P1, p2, P2):
     if not fused:
         hi, lo = _reorder_htab(hi, lo, Lb, Lk, a, c)
     return hi, lo
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def fused_e1_tiles_pallas(Lb: int, Lk: int, E1h, E1l, p1, P1, p2, P2):
+    """Bra-contracted df tile tensor: (hi, lo) f32 arrays of shape
+    (A, c*S2, T1, T2) with out[alpha, ic*S2+s2] = sum_{ia,s1} E1 R2m.
+    E1h/E1l are f32 (T1, a, A*S1); p/P as in r2m_tiles_pallas."""
+    T1, a, ASl = E1h.shape
+    T2, c = p2[0].shape
+    S1, S2 = nhermite(Lb), nhermite(Lk)
+    A = ASl // S1
+
+    out_row = A * S2 * T2 * 4 * 2 * 2  # hi+lo, double-buffered
+    BT1 = _pick_bt1(T1, out_row)
+
+    bra_ops = [p1[0], p1[1]] + [
+        P1[k][:, :, d] for d in range(3) for k in range(2)
+    ]
+    ket_ops = [p2[0].T, p2[1].T] + [
+        P2[k][:, :, d].T for d in range(3) for k in range(2)
+    ]
+
+    bra_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ket_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    e1_spec = pl.BlockSpec(
+        (BT1, 1, ASl), lambda t1, ic, ia: (t1, ia, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (A, S2, BT1, T2),
+        lambda t1, ic, ia: (0, ic, t1, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((A, c * S2, T1, T2), jnp.float32)
+    kern = functools.partial(_kernel_fused_e1, Lb, Lk, BT1, A)
+
+    H = len(hermite_components(Lb + Lk))
+    flops_per_pt = 40 * H * max(Lb + Lk, 1) + 600 + 40 * A * S1 * S2 // max(a, 1)
+    with jax.enable_x64(False):
+        call = pl.pallas_call(
+            kern,
+            grid=(T1 // BT1, c, a),
+            in_specs=[bra_spec] * 8 + [ket_spec] * 8 + [e1_spec, e1_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(out_shape, out_shape),
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_pt * a * c * T1 * T2,
+                bytes_accessed=2 * (A * c * S2 * T1 * T2 * 4)
+                + (a * T1 * (8 + ASl) + c * T2) * 8,
+                transcendentals=2 * a * c * T1 * T2,
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )
+        hi, lo = call(*(bra_ops + ket_ops + [E1h, E1l]))
+    return hi, lo
+
+
+def tile_vals_pallas_e1(Lb: int, Lk: int, E1df, p1, P1, E2, p2, P2):
+    """Fused-E1 drop-in for tile_vals_pallas: the bra Hermite->Cartesian
+    contraction runs INSIDE the Mosaic kernel (df accumulation over the ia
+    grid dim — see _kernel_fused_e1); only the small ket-side contraction
+    (~18% of the dot FLOPs) stays in XLA f64. E1df = (E1h, E1l) f32
+    (T1, a, A*S1); E2 is the f64 ket Hermite table (T2, c, C, S2)."""
+    E1h, E1l = E1df
+    T2, c, C, S2 = E2.shape
+    T1 = E1h.shape[0]
+    hi, lo = fused_e1_tiles_pallas(Lb, Lk, E1h, E1l, p1, P1, p2, P2)
+    tA = hi.astype(jnp.float64) + lo.astype(jnp.float64)  # (A, c*S2, T1, T2)
+    A = tA.shape[0]
+    E2m = E2.transpose(1, 3, 2, 0).reshape(c * S2, C, T2)
+    out = jax.lax.dot_general(
+        tA, E2m, (((1,), (0,)), ((3,), (2,))), preferred_element_type=tA.dtype
+    )  # (T2, A, T1, C)
+    return out.transpose(2, 1, 0, 3).reshape(T1 * A, T2 * C)
 
 
 def tile_vals_pallas(Lb: int, Lk: int, E1, p1, P1, E2, p2, P2):

@@ -128,6 +128,20 @@ _DF_BASE_MAX = 1e30
 #: times). QCHEM_PL_MAX_L overrides.
 _PL_MAX_L = int(os.environ.get("QCHEM_PL_MAX_L", 8))
 
+#: fused-E1 Pallas variant (opt-in): contract the bra Hermite->Cartesian
+#: transform INSIDE the kernel (df accumulation over the ia grid dim),
+#: eliminating the lane-starved XLA f64 dot1 (~80% of the dot FLOPs). The
+#: MAC emission unrolls A*S1*S2 statements per grid step, so classes above
+#: the cap keep the standard kernel (their compile time would explode; they
+#: are the small high-L classes anyway — benzene/cc-pVDZ's fusable classes
+#: cover 18.1 of its 19.5 s build at cap 512).
+def _pl_fusede() -> bool:
+    return os.environ.get("QCHEM_PL_FUSEDE", "0") == "1"
+
+
+def _pl_fusede_cap() -> int:
+    return int(os.environ.get("QCHEM_PL_FUSEDE_CAP", 512))
+
 
 def _tile_units(m1: _ClassMeta, m2: _ClassMeta, T1: int, T2: int) -> float:
     """Rough per-tile cost: R-table recursion (H·a·c grid points) plus the
@@ -571,6 +585,11 @@ class TiledEriEngine:
                     # line body stops compiling in seconds — those rare
                     # highest-L classes fall back to XLA f64
                     kmode = "f64"
+                if kmode == "pallas" and _pl_fusede():
+                    S1 = nhermite(m1.la + m1.lb)
+                    S2 = nhermite(m2.la + m2.lb)
+                    if m1.A * S1 * S2 <= _pl_fusede_cap():
+                        kmode = "pallas_e1"
                 T1, T2 = _tile_shapes(m1, m2)
                 ti, tj, btile = _tile_list(
                     m1, m2, T1, T2,
@@ -631,6 +650,16 @@ class TiledEriEngine:
                 (E,) + dfl.split_f64(p) + dfl.split_f64(P)
                 for (E, p, P) in padded
             ]
+            if self._mode == "pallas" and _pl_fusede():
+                # fused-E1 operands: E additionally split to (hi, lo) f32 in
+                # the kernel's (npad, a, A*S1) layout (bra role); the f64 E
+                # stays for the ket-side dot
+                self._padded_dfe = [
+                    (E,)
+                    + dfl.split_f64(E.reshape(E.shape[0], E.shape[1], -1))
+                    + dfl.split_f64(p) + dfl.split_f64(P)
+                    for (E, p, P) in padded
+                ]
 
     def rebind_positions(self, positions) -> None:
         """Swap the geometry operands for a displaced same-structure geometry
@@ -668,6 +697,7 @@ class TiledEriEngine:
         okind) instead of array tuples so rebind_positions takes effect."""
         padded = {
             "df": getattr(self, "_padded_df", None),
+            "dfe": getattr(self, "_padded_dfe", None),
             "f32": self._padded32,
             "f64": self._padded,
         }[okind]
@@ -703,7 +733,21 @@ class TiledEriEngine:
                 sl = lambda arr, t, T: jax.lax.dynamic_slice(
                     arr, (t,) + (zero,) * (arr.ndim - 1), (T,) + arr.shape[1:]
                 )
-                if kernel in ("df", "pallas"):
+                if kernel == "pallas_e1":
+                    from qchem_rs_tpu.ops.eri_pallas import tile_vals_pallas_e1
+
+                    (_E1, E1h, E1l, p1h, p1l, P1h, P1l,
+                     E2, _E2h, _E2l, p2h, p2l, P2h, P2l) = ops
+                    vals = tile_vals_pallas_e1(
+                        Lb, Lk,
+                        (sl(E1h, ti, T1), sl(E1l, ti, T1)),
+                        (sl(p1h, ti, T1), sl(p1l, ti, T1)),
+                        (sl(P1h, ti, T1), sl(P1l, ti, T1)),
+                        sl(E2, tj, T2),
+                        (sl(p2h, tj, T2), sl(p2l, tj, T2)),
+                        (sl(P2h, tj, T2), sl(P2l, tj, T2)),
+                    )
+                elif kernel in ("df", "pallas"):
                     from qchem_rs_tpu.ops.eri_pallas import tile_vals_pallas
 
                     tile_fn = tile_vals_pallas if kernel == "pallas" else _tile_vals_df
@@ -749,13 +793,17 @@ class TiledEriEngine:
              jnp.asarray(tj[s * seg : (s + 1) * seg]))
             for s in range(nseg)
         ]
-        if kernel in ("df", "pallas"):
+        if kernel == "pallas_e1":
+            okind = "dfe"
+        elif kernel in ("df", "pallas"):
             okind = "df"
         elif f32:
             okind = "f32"
         else:
             okind = "f64"
-        suffix = "_f32" if f32 else {"df": "_df", "pallas": "_pl"}.get(kernel, "")
+        suffix = "_f32" if f32 else {
+            "df": "_df", "pallas": "_pl", "pallas_e1": "_ple",
+        }.get(kernel, "")
         return (
             f"v2_{m1.la}{m1.lb}_{m2.la}{m2.lb}" + suffix,
             jax.jit(block_program, donate_argnums=(0,) if DONATE_CARRY else ()),
