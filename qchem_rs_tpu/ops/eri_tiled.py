@@ -433,16 +433,28 @@ class PairSpaceLayout:
         self.pmap = pmap.reshape(-1)  # (nao^2,)
 
 
-def _tile_shapes(m1: _ClassMeta, m2: _ClassMeta) -> tuple[int, int]:
+def _tile_shapes(
+    m1: _ClassMeta, m2: _ClassMeta, fused: bool = False
+) -> tuple[int, int]:
     """(T1, T2) pair-tile sizes for a class pair, budgeted so the dominant
-    (H, a, c, T1, T2) intermediates stay under TILE_BYTES_BUDGET."""
+    (H, a, c, T1, T2) intermediates stay under TILE_BYTES_BUDGET.
+
+    ``fused`` (the fused-E1 kernel): the (a*S1, c*S2, T1, T2) R2m tensor
+    never exists in XLA — the largest per-tile buffers are the kernel's
+    (A, c*S2, T1, T2) f32 output pair and its f64 conversion, ~(a*S1/A)x
+    smaller. T1 then rides to the 128 cap for every fusable class, which
+    is the grid-step-overhead fix (r5b profile: 1.05M steps at ~5 us each
+    under BT1=T1=16)."""
     L = m1.la + m1.lb + m2.la + m2.lb
     H = nhermite(L)
     S1 = nhermite(m1.la + m1.lb)
     S2 = nhermite(m2.la + m2.lb)
-    width = max(2 * H, S1 * S2, m1.A * S1 // max(m1.a, 1) + 1)
     T2 = min(128, m2.npad)
-    per_t1 = m1.a * m2.a * T2 * width * 8
+    if fused:
+        per_t1 = m1.A * m2.a * S2 * T2 * (8 + 16)
+    else:
+        width = max(2 * H, S1 * S2, m1.A * S1 // max(m1.a, 1) + 1)
+        per_t1 = m1.a * m2.a * T2 * width * 8
     T1 = _pow2_floor(max(8, TILE_BYTES_BUDGET // max(per_t1, 1)))
     # cap at 128: T1 must divide npad (a 128-multiple), else the tile grid
     # would silently drop the last partial block of pairs
@@ -590,7 +602,7 @@ class TiledEriEngine:
                     S2 = nhermite(m2.la + m2.lb)
                     if m1.A * S1 * S2 <= _pl_fusede_cap():
                         kmode = "pallas_e1"
-                T1, T2 = _tile_shapes(m1, m2)
+                T1, T2 = _tile_shapes(m1, m2, fused=(kmode == "pallas_e1"))
                 ti, tj, btile = _tile_list(
                     m1, m2, T1, T2,
                     None if bounds is None else bounds[i1],
@@ -846,7 +858,7 @@ class TiledEriEngine:
         total = 0.0
         for _name, _fn, segments, (i1, i2, _okind) in self._tasks:
             m1, m2 = metas[i1], metas[i2]
-            T1, T2 = _tile_shapes(m1, m2)
+            T1, T2 = _tile_shapes(m1, m2, fused=_name.endswith("_ple"))
             ntiles = sum(len(xs[0]) for xs in segments)
             total += _tile_flops(m1, m2, T1, T2) * ntiles
         return total

@@ -73,7 +73,7 @@ def main() -> int:
         rows = []
         for name, _fn, segments, (i1, i2, _okind) in engine._tasks:
             m1, m2 = metas[i1], metas[i2]
-            T1, T2 = _tile_shapes(m1, m2)
+            T1, T2 = _tile_shapes(m1, m2, fused=name.endswith("_ple"))
             ntiles = sum(len(xs[0]) for xs in segments)
             rows.append({
                 "class": name, "kernel": _task_kernel(name),
@@ -125,7 +125,7 @@ def main() -> int:
         V2.block_until_ready()
         dt = time.perf_counter() - t0
         ntiles = sum(len(xs[0]) for xs in segments)
-        T1, T2 = _tile_shapes(m1, m2)
+        T1, T2 = _tile_shapes(m1, m2, fused=name.endswith("_ple"))
         gflops = _tile_flops(m1, m2, T1, T2) * ntiles / 1e9
         kernel = _task_kernel(name)
         L = m1.la + m1.lb + m2.la + m2.lb
