@@ -185,9 +185,15 @@ class PairSpaceFockBuilder:
             if env is not None:
                 lean = env == "1"
             else:
+                # accelerator default 9 GB of the v5e's 16: the V2 build
+                # itself peaks at V2 + per-class tile buffers (~2-3 GB) and
+                # the W build transiently holds V2f + W + row slabs, so the
+                # resident pair matrices must leave real headroom
+                # (naphthalene/cc-pVDZ needs 11.93 GB resident and
+                # RESOURCE_EXHAUSTED a 16 GB chip twice)
                 budget = float(os.environ.get(
                     "QCHEM_PAIR_BUDGET",
-                    12e9 if jax.default_backend() != "cpu" else 48e9,
+                    9e9 if jax.default_backend() != "cpu" else 48e9,
                 ))
                 need = 8.0 * (self.M * self.M + self.nao**2 * self.M)
                 lean = need > budget
