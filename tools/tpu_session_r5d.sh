@@ -38,4 +38,9 @@ QCHEM_PL_FUSEDE=1 QCHEM_COMPILE_WORKERS=4 timeout 1500 python tools/class_profil
   > "$LOGDIR/class_profile_fusede.json" 2> "$LOGDIR/class_profile_fusede.log"
 echo "$(stamp) [3] rc=$? $(tail -c 400 "$LOGDIR/class_profile_fusede.json")" | tee -a "$LOGDIR/session.log"
 
+echo "$(stamp) [4] trajectory retry (r5c phase 2 window closed mid-scan-compile)" | tee -a "$LOGDIR/session.log"
+QCHEM_COMPILE_WORKERS=4 timeout 2400 python tools/trajectory.py benzene cc-pVDZ 60 huckel sad \
+  > "$LOGDIR/trajectory.json" 2> "$LOGDIR/trajectory.log"
+echo "$(stamp) [4] rc=$? $(tail -c 300 "$LOGDIR/trajectory.json")" | tee -a "$LOGDIR/session.log"
+
 echo "$(stamp) session done" | tee -a "$LOGDIR/session.log"

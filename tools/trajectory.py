@@ -96,6 +96,7 @@ def main() -> int:
         _, recs = jax.lax.scan(body, init, None, length=n_iters)
         return recs
 
+    print("# compiling the scan program", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     _ = jax.tree.map(lambda x: x.block_until_ready(),
                      run(jnp.zeros((n, n))))  # compile once
