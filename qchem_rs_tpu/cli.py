@@ -132,7 +132,8 @@ def _common_flags(p: argparse.ArgumentParser, uhf: bool) -> None:
 
 def _convergence_metric(value: str) -> str:
     """argparse type for --convergence: fixed names plus composite[:GUARD]."""
-    if value in ("diag_rms", "full_rms", "energy", "diis_err"):
+    if value in ("diag_rms", "full_rms", "energy", "diis_err",
+                 "diag_rms2", "full_rms2", "diis_err2"):
         return value
     if value == "composite" or value.startswith("composite:"):
         if ":" in value:
@@ -145,7 +146,8 @@ def _convergence_metric(value: str) -> str:
         return value
     raise argparse.ArgumentTypeError(
         f"unknown convergence metric {value!r} (diag_rms, full_rms, energy, "
-        "diis_err, composite[:GUARD])"
+        "diis_err, composite[:GUARD]; a trailing 2 — diag_rms2/full_rms2/"
+        "diis_err2 — requires two consecutive passes below epsilon)"
     )
 
 

@@ -104,25 +104,27 @@ def convergence_value(metric: str, *, energy, prev_energy, err, d_change):
     """
     if metric == "energy":
         return jnp.abs(energy - prev_energy)
-    if metric == "diis_err":
+    if metric in ("diis_err", "diis_err2"):
         return jnp.max(jnp.abs(err))
     if metric.startswith("composite"):
         guard = composite_guard(metric)
         de = jnp.abs(energy - prev_energy)
         diag = density_rms(d_change, "diag_rms")
         return jnp.where(diag < guard, de, jnp.inf)
-    return density_rms(d_change, metric)
+    return density_rms(d_change, metric.removesuffix("2"))
 
 
 def converged_flag(metric: str, rms, prev_rms, epsilon):
     """Convergence decision for one SCF pass. All metrics stop on
-    ``rms < epsilon``; the composite metric additionally requires the
-    PREVIOUS pass below epsilon too (an energy plateau over a 2-iteration
-    window — a single small |dE| at an oscillation extremum is not a stop).
-    ``prev_rms`` is the loop state's previous metric value (inf initially,
-    so iteration 0 can never composite-stop)."""
+    ``rms < epsilon``; the composite metric and the SUSTAINED variants
+    ("diis_err2"/"diag_rms2"/"full_rms2") additionally require the
+    PREVIOUS pass below epsilon too (a 2-iteration window — a single small
+    value at a DIIS-transient extremum is not a stop; round-4 calibration
+    measured diis_err@1e-6 triggering on an overshoot 1.6e-3 Eh off the
+    fixed point, docs/PROFILE_r04.md). ``prev_rms`` is the loop state's
+    previous metric value (inf initially, so iteration 0 never 2-stops)."""
     conv = rms < epsilon
-    if metric.startswith("composite"):
+    if metric.startswith("composite") or metric.endswith("2"):
         conv = conv & (prev_rms < epsilon)
     return conv
 

@@ -81,3 +81,29 @@ def test_nonconvergence_reported():
         system, HartreeFockConfig(max_iterations=1, epsilon=1e-14)
     )
     assert not out.converged
+
+
+def test_sustained_metrics_converge(data_dir):
+    """The "2"-suffixed metrics (two consecutive passes below epsilon —
+    DIIS-transient-proof variants for the noisy emulated-f64 backend)
+    reach the same fixed point as their plain forms."""
+    from qchem_rs_tpu import (
+        BasisSet,
+        HartreeFockConfig,
+        MolecularSystem,
+        restricted_hartree_fock,
+    )
+
+    b = BasisSet.load(f"{data_dir}/basis/6-31G.json")
+    s = MolecularSystem.load(f"{data_dir}/mol/water.json", b)
+    ref = restricted_hartree_fock(
+        s, HartreeFockConfig(epsilon=1e-9, convergence_metric="diag_rms")
+    )
+    for metric in ("diis_err2", "diag_rms2"):
+        out = restricted_hartree_fock(
+            s, HartreeFockConfig(epsilon=1e-8, convergence_metric=metric)
+        )
+        assert out.converged, metric
+        assert abs(out.total_energy() - ref.total_energy()) < 1e-7, metric
+        # the sustained form needs at least one extra observing pass
+        assert out.iterations >= 2
