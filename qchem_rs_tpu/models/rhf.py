@@ -541,6 +541,25 @@ def restricted_hartree_fock(
             (W if W is not None else V2f).block_until_ready()
             timings["eri_s"] = time.perf_counter() - t1
 
+            if builder.lean:
+                # LEAN pair mode runs the HOST-DRIVEN loop: a single jitted
+                # while_loop carries V2f in its loop tuple, and the AOT
+                # planner buffers the carry at ~4x V2f — a naphthalene/
+                # cc-pVDZ program planned a 19.3 GB f32[8, M, M] allocation
+                # on the 16 GB chip (r5c phase 3). The host loop keeps V2f a
+                # plain device operand of one small jk program per pass.
+                cache = getattr(builder, "_step_cache", None)
+                if cache is None:
+                    cache = builder._step_cache = {}
+                st = _rhf_scf_hostloop(
+                    H, X, S, nocc, config, builder.jk, guess,
+                    step_cache=cache,
+                )
+                st.density.block_until_ready()
+                timings["scf_s"] = time.perf_counter() - t1 - timings["eri_s"]
+                timings["total_s"] = time.perf_counter() - t0
+                return _rhf_output(system, st, timings, e_field_nuc)
+
             # the jitted SCF program is cached on the builder keyed by the
             # run statics: a fresh closure per call would retrace (and on
             # the TPU backend recompile, ~45 s) EVERY run; the guess is a
@@ -614,7 +633,10 @@ def restricted_hartree_fock(
         timings["scf_s"] = time.perf_counter() - t1
     st.density.block_until_ready()
     timings["total_s"] = time.perf_counter() - t0
+    return _rhf_output(system, st, timings, e_field_nuc)
 
+
+def _rhf_output(system, st, timings, e_field_nuc=0.0):
     return RestrictedHartreeFockOutput(
         orbital_energies=np.asarray(st.orbital_energies),
         electronic_energy=float(st.energy),

@@ -123,10 +123,12 @@ def _uhf_loop(
             # |dE| < eps — see models/rhf.py (the "1e-8 Eh" criterion)
             rms = jnp.abs(energy - st.energy)
             conv = rms < epsilon
-        elif metric == "diis_err":
+        elif metric in ("diis_err", "diis_err2"):
             # commutator norm max|FDS - SDF| over both spins (cf. models/rhf.py)
             rms = jnp.max(jnp.abs(err))
             conv = rms < epsilon
+            if metric.endswith("2"):  # sustained: two consecutive passes
+                conv = conv & (st.rms < epsilon)
         elif metric.startswith("composite"):
             # noise-aware stop (models/scf.py): |dE| gated on the spin-mean
             # diagonal density RMS, two consecutive passes below epsilon
@@ -141,9 +143,11 @@ def _uhf_loop(
             rms = jnp.sum(per_spin_rms) / 2.0
             conv = rms / 2.0 < epsilon
         else:
-            per_spin_rms = scf.density_rms(d_change, metric)
+            per_spin_rms = scf.density_rms(d_change, metric.removesuffix("2"))
             rms = jnp.mean(per_spin_rms)
             conv = rms < epsilon
+            if metric.endswith("2"):
+                conv = conv & (st.rms < epsilon)
         if verbose:  # uhf.rs:138 log::info! analogue
             jax.debug.print(
                 "iteration {i} - density rms {r:03.3e}", i=st.iteration, r=rms
@@ -272,12 +276,14 @@ def _uhf_step_program(config: HartreeFockConfig, nocc):
         D2 = D + config.mixing_factor * d_change
         energy = 0.5 * jnp.sum(D2 * (2.0 * H[None] + G))
         metric = config.convergence_metric
-        if metric in ("energy", "diis_err"):
+        if metric in ("energy", "diis_err", "diis_err2"):
             rms = scf.convergence_value(
                 metric, energy=energy, prev_energy=prev_e, err=err,
                 d_change=d_change,
             )
             conv = rms < config.epsilon
+            if metric.endswith("2"):  # sustained: two consecutive passes
+                conv = conv & (prev_rms < config.epsilon)
         elif metric.startswith("composite"):
             guard = scf.composite_guard(metric)
             de = jnp.abs(energy - prev_e)
@@ -289,9 +295,11 @@ def _uhf_step_program(config: HartreeFockConfig, nocc):
             rms = jnp.sum(per_spin) / 2.0
             conv = rms / 2.0 < config.epsilon  # uhf.rs:137-139 double-halving
         else:
-            per_spin = scf.density_rms(d_change, metric)
+            per_spin = scf.density_rms(d_change, metric.removesuffix("2"))
             rms = jnp.mean(per_spin)
             conv = rms < config.epsilon
+            if metric.endswith("2"):
+                conv = conv & (prev_rms < config.epsilon)
         return D2, diis, energy, rms, conv, w, C
 
     return step
