@@ -38,6 +38,12 @@ QCHEM_PL_FUSEDE=1 QCHEM_COMPILE_WORKERS=4 timeout 1500 python tools/class_profil
   > "$LOGDIR/class_profile_fusede.json" 2> "$LOGDIR/class_profile_fusede.log"
 echo "$(stamp) [3] rc=$? $(tail -c 400 "$LOGDIR/class_profile_fusede.json")" | tee -a "$LOGDIR/session.log"
 
+echo "$(stamp) [3b] naphthalene retry (lean + host-driven loop: no V2f while-carry)" | tee -a "$LOGDIR/session.log"
+QCHEM_BENCH_ONLY=rhf_naphthalene_pair QCHEM_BENCH_WINDOW=2400 \
+  timeout 2500 python bench.py \
+  > "$LOGDIR/bench_naph.json" 2> "$LOGDIR/bench_naph.log"
+echo "$(stamp) [3b] rc=$? $(tail -c 600 "$LOGDIR/bench_naph.json")" | tee -a "$LOGDIR/session.log"
+
 echo "$(stamp) [4] trajectory retry (r5c phase 2 window closed mid-scan-compile)" | tee -a "$LOGDIR/session.log"
 QCHEM_COMPILE_WORKERS=4 timeout 2400 python tools/trajectory.py benzene cc-pVDZ 60 huckel sad \
   > "$LOGDIR/trajectory.json" 2> "$LOGDIR/trajectory.log"
