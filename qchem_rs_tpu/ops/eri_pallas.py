@@ -228,11 +228,13 @@ def _kernel_fused_e1(Lb, Lk, BT1, A, *refs):
     vals = _brick_vals(Lb + Lk, BT1, T2, bra_refs, ket_refs, ia, t1, ic)
 
     # hoisted bra-coefficient extraction: (BT1, 1) df per (alpha, s1); the
-    # e1 refs are blocked to (BT1, 1, A*S1) per grid step by their BlockSpec
+    # e1 refs are blocked to (1, BT1, A*S1) per grid step by their BlockSpec
+    # (leading grid-sliced ia dim — Mosaic constrains only the LAST TWO
+    # block dims, so a must not sit there)
     ASl = e1h_ref.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (BT1, ASl), 1)
-    eh_blk = e1h_ref[:, 0, :]
-    el_blk = e1l_ref[:, 0, :]
+    eh_blk = e1h_ref[0, :, :]
+    el_blk = e1l_ref[0, :, :]
     def col(blk, k):
         return jnp.sum(jnp.where(lane == k, blk, 0.0), axis=1, keepdims=True)
 
@@ -367,11 +369,14 @@ def fused_e1_tiles_pallas(Lb: int, Lk: int, E1h, E1l, p1, P1, p2, P2):
     ket_ops = [p2[0].T, p2[1].T] + [
         P2[k][:, :, d].T for d in range(3) for k in range(2)
     ]
+    # (a, T1, ASl): Mosaic blocks constrain the LAST TWO dims, so the
+    # grid-sliced ia axis must lead (a cheap f32 transpose per tile call)
+    e1_ops = [jnp.transpose(E1h, (1, 0, 2)), jnp.transpose(E1l, (1, 0, 2))]
 
     bra_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     ket_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     e1_spec = pl.BlockSpec(
-        (BT1, 1, ASl), lambda t1, ic, ia: (t1, ia, 0),
+        (1, BT1, ASl), lambda t1, ic, ia: (ia, t1, 0),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
@@ -399,7 +404,7 @@ def fused_e1_tiles_pallas(Lb: int, Lk: int, E1h, E1l, p1, P1, p2, P2):
             ),
             interpret=jax.default_backend() != "tpu",
         )
-        hi, lo = call(*(bra_ops + ket_ops + [E1h, E1l]))
+        hi, lo = call(*(bra_ops + ket_ops + e1_ops))
     return hi, lo
 
 
