@@ -39,6 +39,7 @@ def _task_kernel(name: str) -> str:
     return (
         "f32" if name.endswith("_f32")
         else "df" if name.endswith("_df")
+        else "pallas_e1" if name.endswith("_ple")
         else "pallas" if name.endswith("_pl")
         else "f64"
     )
