@@ -293,6 +293,10 @@ def stop_rule(backend: str) -> tuple[str | None, str | float | None]:
 
 def run_configs(configs):
     from qchem_rs_tpu import BasisSet, HartreeFockConfig, MolecularSystem
+
+    # same 4-worker default the child path gets (measured 1.58x on cold_s);
+    # the QCHEM_BENCH_ONLY path runs in-process and was missing it
+    os.environ.setdefault("QCHEM_COMPILE_WORKERS", "4")
     # eps=1e-8 (the BASELINE.json metric). Round 1 could only run 1e-7: the
     # tabulated Boys interpolation lost ~1e-8 absolute on-device, putting the
     # density-RMS noise floor between 1e-7 and 1e-8. The gather-free Boys
@@ -359,8 +363,11 @@ def run_configs(configs):
             signal.alarm(int(budget))
             t0 = time.perf_counter()
             try:
-                if cfg.fock_mode == "incore":
-                    precompile_rhf(system, cfg)
+                # pair/direct also precompile now: the 21 class-pair V2
+                # programs are the cold cost, and inline they compile
+                # SERIALLY with no log lines (the r5c/r5d naphthalene
+                # timeouts burned 1800 s invisibly)
+                precompile_rhf(system, cfg)
             finally:
                 signal.alarm(0)
             precompile_s = time.perf_counter() - t0

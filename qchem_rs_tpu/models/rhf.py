@@ -249,14 +249,27 @@ def precompile_rhf(
     config: Optional[HartreeFockConfig] = None,
     max_workers: int | None = None,
 ) -> None:
-    """Compile every program an in-core RHF run needs, in parallel threads.
+    """Compile every program an RHF run needs, in parallel threads.
 
-    Amortizes the TPU backend's high per-program compile latency; with the
-    persistent compilation cache this also prewarms future processes.
+    Amortizes the TPU backend's high per-program compile latency. In-core
+    mode compiles the full program set (1e, V2 classes, finish, SCF fixed
+    point); pair/direct modes compile the V2 class-pair programs — the
+    dominant cold cost (12-58 s each on the axon remote compiler) that
+    otherwise compiles serially inline with zero log visibility (the
+    round-5 naphthalene timeouts).
     """
     from qchem_rs_tpu.ops.incore import precompile
 
     config = config or HartreeFockConfig()
+    if config.fock_mode in ("pair", "direct"):
+        builder = _direct_tools(
+            system, config, "pair" if config.fock_mode == "pair" else "direct"
+        )
+        engine = builder.engine
+        programs = [p for p in engine.programs() if p[0].startswith("v2_")]
+        compiled = precompile(programs, max_workers=max_workers)
+        engine._compiled = {**getattr(engine, "_compiled", {}), **compiled}
+        return
     nocc = system.n_electrons(config.charge) // 2
     ones, engine = _incore_tools(system, config)
     n = system.n_basis()
@@ -460,11 +473,26 @@ def _rhf_scf_hostloop(
     converged = False
     passes = 0
     prev_rms = float("inf")
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    log = _os.environ.get("QCHEM_COMPILE_LOG")
     # reference bound: 0..=max_iterations (rhf.rs:66)
     for _ in range(config.max_iterations + 1):
+        t_it = _time.perf_counter() if log else 0.0
         J, K = jk_host(D)
         D, diis, energy, rms, w, C = step(H, X, S, D, diis, J, K, energy)
         passes += 1
+        if log:
+            # float(rms) below drains the device, so this is a real
+            # per-iteration wall time (session visibility: the r5c/r5d
+            # naphthalene timeouts gave no sign of where 1800 s went)
+            print(
+                f"# hostloop iter {passes - 1}: rms {float(rms):.3e} "
+                f"({_time.perf_counter() - t_it:.2f}s)",
+                file=_sys.stderr, flush=True,
+            )
         if config.verbose:
             print(
                 f"iteration {passes - 1:<4} - electronic energy "

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
+import time
 from functools import lru_cache
 
 import jax
@@ -843,11 +845,23 @@ class TiledEriEngine:
         compiled = getattr(self, "_compiled", {})
         M = self.layout.M
         V2 = jnp.zeros((M, M), dtype=jnp.float64)
+        log = os.environ.get("QCHEM_COMPILE_LOG")
         for name, fn, segments, ospec in self._tasks:
             f = compiled.get(name, fn)
             operands = self.operand_arrays(*ospec)
+            t0 = time.perf_counter() if log else 0.0
             for xs in segments:
                 V2 = f(V2, xs, *operands)
+            if log:
+                # first call of an uncompiled task includes its compile;
+                # async dispatch means the time lands on the NEXT drain,
+                # so these lines show ordering/stalls, not exact per-class
+                # seconds (tools/class_profile.py drains for those)
+                print(
+                    f"# build {name}: {time.perf_counter() - t0:.1f}s "
+                    f"({len(segments)} segs)",
+                    file=sys.stderr, flush=True,
+                )
         return V2
 
     def analytic_build_flops(self) -> float:
