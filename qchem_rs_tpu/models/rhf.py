@@ -17,6 +17,7 @@ non-convergence returns a structured result instead of None/panic.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -28,6 +29,7 @@ from qchem_rs_tpu.config import HartreeFockConfig
 from qchem_rs_tpu.models import scf
 from qchem_rs_tpu.models.diis import DiisState, diis_apply, diis_init
 from qchem_rs_tpu.ops import eri as eri_ops
+from qchem_rs_tpu.ops import fock_matvec
 from qchem_rs_tpu.ops import one_electron
 from qchem_rs_tpu.utils.system import MolecularSystem
 
@@ -61,7 +63,7 @@ class _ScfState(NamedTuple):
     coefficients: jax.Array
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 12, 13))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 12, 13, 14))
 def _rhf_scf(
     H: jax.Array,
     X: jax.Array,
@@ -72,13 +74,14 @@ def _rhf_scf(
     metric: str,
     diis_window: tuple[int, int],
     mixing: float,
-    terms_mat: jax.Array,  # (n^2, n^2): (ij|kl) - 1/2 (ik|jl)
+    terms_mat,  # "f64": (n^2, n^2) f64 terms; "df": its split_terms pair
     density_guess: jax.Array,  # (n, n); selected by use_guess
     use_guess: jax.Array,  # () bool, TRACED: warm starts (checkpoint/sweep)
     # reuse the same compiled executable as cold runs — a static/None guess
     # would specialize the program and force a fresh ~45 s TPU compile
     verbose: bool = False,
     level_shift: float = 0.0,
+    matvec: str = "f64",
 ) -> _ScfState:
     n = H.shape[0]
     diis_min, diis_max = diis_window
@@ -88,7 +91,14 @@ def _rhf_scf(
 
     def body(st: _ScfState) -> _ScfState:
         D = st.density
-        G = (terms_mat @ D.reshape(-1)).reshape(n, n)  # rhf.rs:152-167 as one matmul
+        if matvec == "df":
+            # double-float Pallas matvec: the emulated-f64 dot is the whole
+            # per-iteration cost on TPU (ops/fock_matvec.py)
+            G = fock_matvec.matvec_df(
+                terms_mat[0], terms_mat[1], D.reshape(-1), n * n
+            ).reshape(n, n)
+        else:
+            G = (terms_mat @ D.reshape(-1)).reshape(n, n)  # rhf.rs:152-167 as one matmul
         F = H + G
         err = F @ D @ S - S @ D @ F  # rhf.rs:71
         F, diis = diis_apply(st.diis, err, F, diis_min)
@@ -170,7 +180,24 @@ def _rebind(engine, system: MolecularSystem) -> None:
         engine._bound_positions = pos
 
 
-def _scf_statics(config: HartreeFockConfig, nocc: int) -> tuple:
+def _matvec_mode() -> str:
+    """In-core Fock matvec arithmetic: "df" = the double-float Pallas kernel
+    (ops/fock_matvec.py — default on TPU, where the emulated-f64 dot runs at
+    ~2.6 GFLOP/s and is the whole per-iteration cost); "f64" = the native
+    XLA matmul (default on CPU; also the AD paths — Mosaic has no VJP).
+    QCHEM_INCORE_MATVEC overrides; a QCHEM_KERNEL=f64 fallback (bench retry
+    insurance) drags the matvec back to f64 with it."""
+    env = os.environ.get("QCHEM_INCORE_MATVEC")
+    if env:
+        return env
+    from qchem_rs_tpu.ops.eri_tiled import _kernel_mode
+
+    if jax.default_backend() == "tpu" and _kernel_mode() != "f64":
+        return "df"
+    return "f64"
+
+
+def _scf_statics(config: HartreeFockConfig, nocc: int, matvec: str = "f64") -> tuple:
     """The full static-argument tuple baked into a compiled _rhf_scf
     executable. A cached executable may only be reused when this matches the
     current run's config — reusing across configs would silently execute the
@@ -184,6 +211,7 @@ def _scf_statics(config: HartreeFockConfig, nocc: int) -> tuple:
         config.mixing_factor,
         config.verbose,
         config.level_shift,
+        matvec,
     )
 
 
@@ -275,10 +303,18 @@ def precompile_rhf(
     n = system.n_basis()
     pos_spec = jax.ShapeDtypeStruct((len(system.atoms), 3), jnp.float64)
     mat = jax.ShapeDtypeStruct((n, n), jnp.float64)
-    terms_spec = jax.ShapeDtypeStruct((n * n, n * n), jnp.float64)
+    terms_f64 = jax.ShapeDtypeStruct((n * n, n * n), jnp.float64)
+    matvec = _matvec_mode()
     programs = [(k, fn, (pos_spec,)) for k, fn in ones.items() if k != "prep"]
     programs.append(("prep", ones["prep"], (mat, mat, mat)))
     programs += engine.programs()
+    if matvec == "df":
+        mp = fock_matvec.padded_m(n * n)
+        half = jax.ShapeDtypeStruct((mp, mp), jnp.float32)
+        terms_spec = (half, half)
+        programs.append(("split", fock_matvec.split_terms, (terms_f64,)))
+    else:
+        terms_spec = terms_f64
     programs.append(
         (
             "scf",
@@ -288,7 +324,7 @@ def precompile_rhf(
                 config.max_iterations, config.epsilon, config.convergence_metric,
                 config.diis_window(4, 6), config.mixing_factor, terms_spec,
                 mat, jax.ShapeDtypeStruct((), jnp.bool_),
-                config.verbose, config.level_shift,
+                config.verbose, config.level_shift, matvec,
             ),
         )
     )
@@ -306,8 +342,10 @@ def precompile_rhf(
     if not isinstance(scf_cache, dict):
         scf_cache = {}
     if "scf" in compiled:
-        scf_cache[_scf_statics(config, nocc)] = compiled["scf"]
+        scf_cache[_scf_statics(config, nocc, matvec)] = compiled["scf"]
     engine._compiled_scf = scf_cache
+    if "split" in compiled:
+        engine._compiled_split = compiled["split"]
 
 
 def _field_terms(system, positions, field):
@@ -637,7 +675,18 @@ def restricted_hartree_fock(
         timings["one_electron_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
         terms_mat = engine.finish_terms(engine.build())
-        terms_mat.block_until_ready()
+        matvec = _matvec_mode()
+        if matvec == "df":
+            # split ONCE per build into the padded (hi, lo) f32 pair the
+            # Pallas matvec consumes (ops/fock_matvec.py); the f64 source
+            # buffer dies with this local
+            split = getattr(engine, "_compiled_split", fock_matvec.split_terms)
+            terms_ops = split(terms_mat)
+            terms_ops[0].block_until_ready()
+        else:
+            terms_ops = terms_mat
+            terms_ops.block_until_ready()
+        del terms_mat
         timings["eri_s"] = time.perf_counter() - t1
         t1 = time.perf_counter()
         n = system.n_basis()
@@ -646,16 +695,16 @@ def restricted_hartree_fock(
         )
         use_g = jnp.asarray(warm)
         scf_cache = getattr(engine, "_compiled_scf", None) or {}
-        cscf = scf_cache.get(_scf_statics(config, nocc)) if isinstance(scf_cache, dict) else None
+        cscf = scf_cache.get(_scf_statics(config, nocc, matvec)) if isinstance(scf_cache, dict) else None
         if cscf is not None:
             # warm starts share the executable: the guess is an operand
-            st = cscf(H, X, S, terms_mat, guess_arr, use_g)
+            st = cscf(H, X, S, terms_ops, guess_arr, use_g)
         else:
             st = _rhf_scf(
                 H, X, S, nocc,
                 config.max_iterations, config.epsilon, config.convergence_metric,
-                config.diis_window(4, 6), config.mixing_factor, terms_mat,
-                guess_arr, use_g, config.verbose, config.level_shift,
+                config.diis_window(4, 6), config.mixing_factor, terms_ops,
+                guess_arr, use_g, config.verbose, config.level_shift, matvec,
             )
         st.density.block_until_ready()  # dispatch is async; time the work
         timings["scf_s"] = time.perf_counter() - t1
