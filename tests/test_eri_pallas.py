@@ -123,7 +123,11 @@ def test_engine_fused_e1_matches_standard_water():
     s = MolecularSystem.load(os.path.join(data, "mol", "water.json"), b)
     os.environ["QCHEM_KERNEL"] = "pallas"
     try:
-        Vp = np.asarray(TiledEriEngine(s, 1e-12).build())
+        os.environ["QCHEM_PL_FUSEDE"] = "0"  # fused is the default now
+        try:
+            Vp = np.asarray(TiledEriEngine(s, 1e-12).build())
+        finally:
+            os.environ.pop("QCHEM_PL_FUSEDE")
         os.environ["QCHEM_PL_FUSEDE"] = "1"
         try:
             eng = TiledEriEngine(s, 1e-12)
