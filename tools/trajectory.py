@@ -69,8 +69,11 @@ def main() -> int:
 
     diis_min, diis_max = cfg.diis_window(4, 6)
 
+    # terms/H/X/S enter as ARGUMENTS: a closure-captured concrete array is a
+    # CONSTANT in the jaxpr, and embedding the 1.66 GB terms matrix in the
+    # HLO wedged the axon remote compile for 60+ min (session r5d phase 4)
     @jax.jit
-    def run(D0):
+    def run(terms, H, X, S, D0):
         def body(carry, _):
             D, diis, prev_e = carry
             G = (terms @ D.reshape(-1)).reshape(n, n)
@@ -99,7 +102,7 @@ def main() -> int:
     print("# compiling the scan program", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     _ = jax.tree.map(lambda x: x.block_until_ready(),
-                     run(jnp.zeros((n, n))))  # compile once
+                     run(terms, H, X, S, jnp.zeros((n, n))))  # compile once
     print(f"# scan compile+run {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
@@ -113,7 +116,7 @@ def main() -> int:
         else:
             raise SystemExit(f"unknown guess {guess!r}")
         t0 = time.perf_counter()
-        recs = [np.asarray(r) for r in run(D0)]
+        recs = [np.asarray(r) for r in run(terms, H, X, S, D0)]
         dt = time.perf_counter() - t0
         E, diag, full, derr, dE = recs
         for i in range(n_iters):
