@@ -144,10 +144,21 @@ def _convergence_metric(value: str) -> str:
                     f"bad composite guard in {value!r} (want composite:<float>)"
                 ) from None
         return value
+    if value.startswith("espan"):
+        from qchem_rs_tpu.models.scf import espan_params
+
+        try:
+            espan_params(value)
+        except (ValueError, IndexError) as e:
+            raise argparse.ArgumentTypeError(
+                f"bad espan metric {value!r} (want espan:<window>[:<guard>]): {e}"
+            ) from None
+        return value
     raise argparse.ArgumentTypeError(
         f"unknown convergence metric {value!r} (diag_rms, full_rms, energy, "
-        "diis_err, composite[:GUARD]; a trailing 2 — diag_rms2/full_rms2/"
-        "diis_err2 — requires two consecutive passes below epsilon)"
+        "diis_err, composite[:GUARD], espan:<W>[:<GUARD>]; a trailing 2 — "
+        "diag_rms2/full_rms2/diis_err2 — requires two consecutive passes "
+        "below epsilon)"
     )
 
 

@@ -61,6 +61,10 @@ class _ScfState(NamedTuple):
     converged: jax.Array
     orbital_energies: jax.Array
     coefficients: jax.Array
+    # rolling energy window (newest first) for the espan metric; None (an
+    # empty pytree node) for every other metric so their executables and
+    # cached programs are unchanged
+    e_hist: jax.Array | None = None
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 12, 13, 14))
@@ -110,9 +114,13 @@ def _rhf_scf(
         d_change = D_new - D
         D = D + mixing * d_change  # rhf.rs:78-82 (F = 1.0 default)
         energy = 0.5 * jnp.sum(D * (2.0 * H + G))  # rhf.rs:84-85 (post-update D, pre-update G)
+        e_hist = (
+            jnp.roll(st.e_hist, 1).at[0].set(energy)
+            if st.e_hist is not None else None
+        )
         rms = scf.convergence_value(
             metric, energy=energy, prev_energy=st.energy, err=err,
-            d_change=d_change,
+            d_change=d_change, e_hist=e_hist,
         )
         conv = scf.converged_flag(metric, rms, st.rms, epsilon)
         if verbose:  # in-jit analogue of the reference's per-iteration log::info!
@@ -131,6 +139,7 @@ def _rhf_scf(
             converged=conv,
             orbital_energies=w,
             coefficients=C,
+            e_hist=e_hist,
         )
 
     def cond(st: _ScfState) -> jax.Array:
@@ -146,6 +155,10 @@ def _rhf_scf(
         converged=jnp.zeros((), bool),
         orbital_energies=jnp.zeros(n),
         coefficients=jnp.zeros((n, n)),
+        e_hist=(
+            jnp.full((scf.ESPAN_HIST,), jnp.inf)
+            if metric.startswith("espan") else None
+        ),
     )
     return jax.lax.while_loop(cond, body, init)
 
@@ -408,9 +421,13 @@ def _rhf_scf_direct(
         d_change = D_new - D
         D = D + config.mixing_factor * d_change
         energy = 0.5 * jnp.sum(D * (2.0 * H + G))
+        e_hist = (
+            jnp.roll(st.e_hist, 1).at[0].set(energy)
+            if st.e_hist is not None else None
+        )
         rms = scf.convergence_value(
             config.convergence_metric, energy=energy, prev_energy=st.energy,
-            err=err, d_change=d_change,
+            err=err, d_change=d_change, e_hist=e_hist,
         )
         conv = scf.converged_flag(config.convergence_metric, rms, st.rms,
                                   config.epsilon)
@@ -430,6 +447,7 @@ def _rhf_scf_direct(
             converged=conv,
             orbital_energies=w,
             coefficients=C,
+            e_hist=e_hist,
         )
 
     def cond(st: _ScfState) -> jax.Array:
@@ -444,6 +462,10 @@ def _rhf_scf_direct(
         converged=jnp.zeros((), bool),
         orbital_energies=jnp.zeros(n),
         coefficients=jnp.zeros((n, n)),
+        e_hist=(
+            jnp.full((scf.ESPAN_HIST,), jnp.inf)
+            if config.convergence_metric.startswith("espan") else None
+        ),
     )
     return jax.lax.while_loop(cond, body, init)
 
@@ -516,6 +538,12 @@ def _rhf_scf_hostloop(
     import time as _time
 
     log = _os.environ.get("QCHEM_COMPILE_LOG")
+    espan = config.convergence_metric.startswith("espan")
+    if espan:
+        # host-side window: the step program's rms IS diag_rms for espan
+        # (scf.convergence_value with e_hist=None)
+        espan_w, espan_guard = scf.espan_params(config.convergence_metric)
+        e_window: list[float] = []
     # reference bound: 0..=max_iterations (rhf.rs:66)
     for _ in range(config.max_iterations + 1):
         t_it = _time.perf_counter() if log else 0.0
@@ -536,8 +564,15 @@ def _rhf_scf_hostloop(
                 f"iteration {passes - 1:<4} - electronic energy "
                 f"{float(energy):1.4f}. density rms {float(rms):1.4e}"
             )
-        if bool(scf.converged_flag(config.convergence_metric, float(rms),
-                                   prev_rms, config.epsilon)):
+        if espan:
+            e_window.append(float(energy))
+            win = e_window[-espan_w:]
+            span = max(win) - min(win) if len(win) >= espan_w else float("inf")
+            if span < config.epsilon and float(rms) < espan_guard:
+                converged = True
+                break
+        elif bool(scf.converged_flag(config.convergence_metric, float(rms),
+                                     prev_rms, config.epsilon)):
             converged = True
             break
         prev_rms = float(rms)

@@ -88,7 +88,28 @@ def composite_guard(metric: str) -> float:
     return float(metric.split(":", 1)[1]) if ":" in metric else 1e-6
 
 
-def convergence_value(metric: str, *, energy, prev_energy, err, d_change):
+#: fixed length of the rolling energy window carried in the SCF loop state
+#: for the espan metric (>= any useful window; unused slots stay +inf)
+ESPAN_HIST = 8
+
+
+def espan_params(metric: str) -> tuple[int, float]:
+    """(window, guard) of an "espan:<w>[:<guard>]" metric. The metric value
+    is the SPAN (max - min) of the last <w> SCF energies, gated to +inf
+    until the diagonal density RMS sinks below <guard> (default 1e-6) —
+    a noise-band detector: on the emulated-f64 TPU backend the energy
+    reaches its ~1e-7 noise floor long before any sub-floor |dE| or
+    diag_rms rung fires (docs/PROFILE_r05.md stop-rule study)."""
+    parts = metric.split(":")
+    w = int(parts[1]) if len(parts) > 1 else 4
+    if not 2 <= w <= ESPAN_HIST:
+        raise ValueError(f"espan window {w} outside 2..{ESPAN_HIST}")
+    guard = float(parts[2]) if len(parts) > 2 else 1e-6
+    return w, guard
+
+
+def convergence_value(metric: str, *, energy, prev_energy, err, d_change,
+                      e_hist=None):
     """The scalar tested against epsilon, shared by every RHF loop variant.
 
     "energy": |dE| (the 1e-8 Eh criterion directly); "diis_err": commutator
@@ -111,6 +132,16 @@ def convergence_value(metric: str, *, energy, prev_energy, err, d_change):
         de = jnp.abs(energy - prev_energy)
         diag = density_rms(d_change, "diag_rms")
         return jnp.where(diag < guard, de, jnp.inf)
+    if metric.startswith("espan"):
+        w, guard = espan_params(metric)
+        diag = density_rms(d_change, "diag_rms")
+        if e_hist is None:
+            # host-driven loops track the window themselves and gate on
+            # this returned diag value (models/rhf._rhf_scf_hostloop)
+            return diag
+        win = e_hist[:w]  # newest-first rolling window incl. this pass
+        span = jnp.max(win) - jnp.min(win)
+        return jnp.where(diag < guard, span, jnp.inf)
     return density_rms(d_change, metric.removesuffix("2"))
 
 
@@ -124,7 +155,9 @@ def converged_flag(metric: str, rms, prev_rms, epsilon):
     fixed point, docs/PROFILE_r04.md). ``prev_rms`` is the loop state's
     previous metric value (inf initially, so iteration 0 never 2-stops)."""
     conv = rms < epsilon
-    if metric.startswith("composite") or metric.endswith("2"):
+    if metric.startswith("composite") or (
+        metric.endswith("2") and not metric.startswith("espan")
+    ):
         conv = conv & (prev_rms < epsilon)
     return conv
 

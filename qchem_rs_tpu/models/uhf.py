@@ -453,6 +453,11 @@ def unrestricted_hartree_fock(
     import time
 
     config = config or HartreeFockConfig()
+    if config.convergence_metric.startswith("espan"):
+        raise ValueError(
+            "espan is implemented for the RHF loops only (the UHF loop "
+            "variants carry no energy window; use diag_rms/composite)"
+        )
     n_electrons = system.n_electrons(config.charge)
     nocc = scf.electron_counts(n_electrons, config.spin_multiplicity)
 

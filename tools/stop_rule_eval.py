@@ -65,6 +65,22 @@ def main() -> int:
         for eps in (1e-6, 1e-7, 1e-8):
             gated = np.where(diag < 1e-6, dE, np.inf)
             report(f"composite:1e-6@{eps:g}", _stop_sustained(gated, eps))
+        # |dE| rungs ABOVE the emulated-f64 noise floor (~1e-7): the round-5
+        # insight is that sub-floor rungs never fire but the energy IS at its
+        # floor by ~iteration 15-25 — a floor-aware rung should stop there
+        for eps in (1e-6, 5e-7, 3e-7, 2e-7):
+            gated = np.where(diag < 1e-6, dE, np.inf)
+            report(f"composite:1e-6@{eps:g}", _stop_sustained(gated, eps))
+        # espan:w@delta — stop when the last w energies span < delta
+        # (noise-band detector, insensitive to the sign of the wandering)
+        for w in (3, 4, 6):
+            for delta in (1e-6, 5e-7, 3e-7):
+                span = np.full(len(E), np.inf)
+                for i in range(w - 1, len(E)):
+                    win = E[i - w + 1 : i + 1]
+                    span[i] = np.ptp(win)
+                span = np.where(diag < 1e-6, span, np.inf)
+                report(f"espan:{w}@{delta:g}", _stop_plain(span, delta))
     return 0
 
 
