@@ -336,12 +336,24 @@ def run_configs(configs):
     for mol, basis_path, tag, default_budget in configs:
       budget = float(os.environ.get("QCHEM_BENCH_BUDGET", default_budget))
       # the remote compile helper crashes sporadically; one retry per config
-      for attempt in range(2):
-        if attempt == 1 and not os.environ.get("QCHEM_KERNEL"):
+      transient_fail = False
+      for attempt in range(3):
+        if attempt and transient_fail:
+            # a flaky remote-compile service error says NOTHING about the
+            # kernel: retry the same configuration (the r5f naphthalene run
+            # lost its window to an HTTP 500 -> f64 flip -> f64-kernel OOM)
+            pass
+        elif attempt == 1 and not os.environ.get("QCHEM_KERNEL"):
             # insurance: if the Pallas tile kernel failed on this backend,
             # retry on the battle-tested XLA f64 path (fresh system objects
-            # below -> fresh engines pick the env up)
+            # below -> fresh engines pick the env up). NOT for large systems:
+            # the f64 kernel's R2m build buffers RESOURCE_EXHAUST a 16 GB
+            # chip at naphthalene scale (docs/PROFILE_r05.md r5c).
+            if tag.startswith("rhf_naphthalene"):
+                break
             os.environ["QCHEM_KERNEL"] = "f64"
+        elif attempt > 1:
+            break  # one real A/B flip only; further attempts are transients
         try:
             import dataclasses
 
@@ -396,6 +408,7 @@ def run_configs(configs):
                     gflops_xla = round(gf / eri_s, 2)
             import jax
 
+            from qchem_rs_tpu.models.rhf import _matvec_mode
             from qchem_rs_tpu.ops.eri_tiled import _kernel_mode
 
             energy = out2.total_energy()
@@ -406,6 +419,7 @@ def run_configs(configs):
                 "unit": "s",
                 "vs_baseline": round(REFERENCE_PROFILED_RUN_S / warm, 2),
                 "kernel": _kernel_mode(),
+                "matvec": _matvec_mode(),
                 "stop_metric": f"{cfg.convergence_metric}@{cfg.epsilon:g}",
                 "guess": cfg.initial_guess,
                 "backend": jax.default_backend(),
@@ -431,7 +445,14 @@ def run_configs(configs):
             print(f"# bench config {tag} timed out: {e}", file=sys.stderr, flush=True)
             break  # retrying won't fit the budget
         except Exception as e:  # noqa: BLE001 — retry once (flaky compiles)
-            print(f"# bench config {tag} failed (attempt {attempt + 1}): {type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            msg = str(e)
+            transient_fail = any(
+                s in msg for s in
+                ("remote_compile", "HTTP 5", "UNAVAILABLE", "Broken pipe")
+            )
+            print(f"# bench config {tag} failed (attempt {attempt + 1}"
+                  f"{', transient' if transient_fail else ''}): "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
     print(json.dumps({"metric": "time_to_converged_scf", "value": -1, "unit": "s", "vs_baseline": 0}), flush=True)
     return 1
 
