@@ -639,7 +639,7 @@ def restricted_hartree_fock(
             builder = _direct_tools(system, config, "pair")
             t1 = time.perf_counter()
             V2f, W = builder.prepare(force=True)
-            (W if W is not None else V2f).block_until_ready()
+            jax.block_until_ready(W if W is not None else V2f)
             timings["eri_s"] = time.perf_counter() - t1
 
             if builder.lean:

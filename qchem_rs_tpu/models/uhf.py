@@ -496,7 +496,7 @@ def unrestricted_hartree_fock(
             builder = rhf_mod._direct_tools(system, config, "pair")
             t1 = time.perf_counter()
             V2f, W = builder.prepare(force=True)
-            (W if W is not None else V2f).block_until_ready()
+            jax.block_until_ready(W if W is not None else V2f)
             timings["eri_s"] = time.perf_counter() - t1
 
             # cached jitted SCF program + traced guess flag (cf. models/rhf.py

@@ -123,6 +123,31 @@ def build_w(V2f, pmap2, colA, colB):
     return W.reshape(nao * nao, V2f.shape[1])
 
 
+def exchange_lean_split(V2h, V2l, pmap2, D):
+    """K from the (hi, lo)-f32 split pair matrix (lean mode's storage form,
+    see ``PairSpaceFockBuilder._prep_jit``): the same AO-row gather pattern
+    as ``exchange_lean``, with the f64 value reconstructed only at the
+    (nao, nao^2) slab scale. No (M, M)-shaped f64 op ever exists in the
+    program — the emulated-f64 buffers the AOT planner blew up on
+    (f32[8, M, M] = 19.3 GB at naphthalene/cc-pVDZ, docs/PROFILE_r05.md)
+    are structurally gone."""
+    nao = pmap2.shape[0]
+    pflat = pmap2.reshape(-1)
+
+    def row(_, pmap_i):
+        yh = jnp.take(V2h, pmap_i, axis=0)  # (nao_j, Mp) f32
+        yl = jnp.take(V2l, pmap_i, axis=0)
+        yfh = jnp.take(yh, pflat, axis=1)  # (nao_j, nao_k * nao_l)
+        yfl = jnp.take(yl, pflat, axis=1)
+        yf = yfh.astype(jnp.float64) + yfl.astype(jnp.float64)
+        # yt[k, j, l] = (ij|kl);  K_row[k] = sum_jl yt[k,j,l] D[j,l]
+        yt = yf.reshape(nao, nao, nao).transpose(1, 0, 2)
+        return None, jnp.einsum("kjl,jl->k", yt, D)
+
+    _, K = jax.lax.scan(row, None, pmap2)
+    return K  # (nao, nao)
+
+
 def exchange_lean(V2f, pmap2, D):
     """K directly from the mirrored pair matrix: the SAME AO-row gather
     pattern as build_w, but contracted with the density IMMEDIATELY instead
@@ -220,8 +245,18 @@ class PairSpaceFockBuilder:
     def _prep_jit(self):
         if not hasattr(self, "_pj"):
             if self.lean:
+                # lean storage is the (hi, lo)-f32 SPLIT of the mirrored
+                # pair matrix (same bytes as f64, but every downstream op
+                # is native f32): J rides the double-float Pallas matvec
+                # (ops/fock_matvec.py) and K reconstructs f64 only at
+                # (nao, nao^2) slab scale (exchange_lean_split). Keeping
+                # V2f as a plain f64 (M, M) operand made the jk program's
+                # emulated-f64 matvec plan an f32[8, M, M] = 4x V2 buffer
+                # — RESOURCE_EXHAUSTED at naphthalene/cc-pVDZ (r5f).
+                from qchem_rs_tpu.ops import fock_matvec as fm
+
                 def prep(V2):
-                    return mirror_inplace(V2), None
+                    return fm.split_terms(mirror_inplace(V2)), None
             else:
                 def prep(V2):
                     V2f = mirror_inplace(V2)
@@ -254,13 +289,21 @@ class PairSpaceFockBuilder:
         nao = self.nao
         Dflat = D.reshape(-1)
         dJ = jnp.take(Dflat, self._pidx) * self._wj  # (M,)
-        Jp = V2f @ dJ  # (M,)
-        J = jnp.take(Jp, self._pmap2.reshape(-1)).reshape(nao, nao)
         if W is None:
-            K = exchange_lean(V2f, self._pmap2, D)
+            # lean: V2f is the (hi, lo)-f32 split (padded to the matvec
+            # block grid); J through the Pallas df matvec, K through the
+            # slab-scale row scan — no (M, M) f64 op in the program
+            from qchem_rs_tpu.ops import fock_matvec as fm
+
+            V2h, V2l = V2f
+            m = int(self._pidx.shape[0])
+            Jp = fm.matvec_df(V2h, V2l, dJ, m)  # (M,)
+            K = exchange_lean_split(V2h, V2l, self._pmap2, D)
         else:
+            Jp = V2f @ dJ  # (M,)
             dK = jnp.take(Dflat, self._pidx) * self._wk
             K = (W @ dK).reshape(nao, nao)
+        J = jnp.take(Jp, self._pmap2.reshape(-1)).reshape(nao, nao)
         return J, K
 
     def jk_sph(self, D, V2f, W):

@@ -55,9 +55,12 @@ def test_pair_lean_exchange_matches(data_dir):
     assert lean.prepare()[1] is None
     Jf, Kf = full.jk(jnp.asarray(D))
     Jl, Kl = lean.jk(jnp.asarray(D))
-    assert np.abs(np.asarray(Jf) - np.asarray(Jl)).max() == 0.0
+    # lean J rides the double-float Pallas matvec over split-f32 storage
+    # (~2^-45 effective mantissa), so agreement is df-exact, not bitwise
+    jscale = max(np.abs(np.asarray(Jf)).max(), 1.0)
+    assert np.abs(np.asarray(Jf) - np.asarray(Jl)).max() / jscale < 1e-12
     scale = max(np.abs(np.asarray(Kf)).max(), 1.0)
-    assert np.abs(np.asarray(Kf) - np.asarray(Kl)).max() / scale < 1e-13
+    assert np.abs(np.asarray(Kf) - np.asarray(Kl)).max() / scale < 1e-12
 
 
 def test_pair_jk_screening_consistent(data_dir):
