@@ -274,9 +274,9 @@ def main():
 def stop_rule(backend: str) -> tuple[str | None, str | float | None]:
     """(metric, epsilon) for the SCF stop: env overrides win; otherwise the
     per-backend calibrated rule from data/calibration.json
-    (tools/calibrate_diis_err.py writes it when a diis_err rung equivalent
-    to 1e-8 Eh beats the diag_rms baseline on that backend); else
-    (None, None) -> run_configs' composite@1e-8 default."""
+    (session r5g wrote the tpu entry: espan:4@5e-7, the on-chip-validated
+    noise-band stop); else (None, None) -> run_configs' diag_rms@1e-8
+    default."""
     metric = os.environ.get("QCHEM_BENCH_METRIC")
     eps = os.environ.get("QCHEM_BENCH_EPS")
     if metric is not None or eps is not None:
@@ -309,7 +309,10 @@ def run_configs(configs):
     import jax
 
     metric, eps = stop_rule(jax.default_backend())
-    # Round-5 default stop: SAD guess + diag_rms@1e-8. The composite
+    # TPU default stop (data/calibration.json): espan:4@5e-7 — the
+    # energy-span noise-band detector, calibrated on-chip in session r5g
+    # (benzene/cc-pVDZ 81 iters / 7.908 s warm, fixed-point dev 5.6e-8).
+    # Non-TPU backends keep diag_rms@1e-8 below. The composite
     # |dE|-plateau rule was MEASURED UNUSABLE on the TPU backend
     # (2026-08-19 session phase 5: 145 iterations, because |dE| < 1e-8 on
     # two consecutive passes almost never happens inside the ~1e-7

@@ -146,7 +146,14 @@ def _pl_fusede() -> bool:
 
 
 def _pl_fusede_cap() -> int:
-    return int(os.environ.get("QCHEM_PL_FUSEDE_CAP", 512))
+    """T1 cap for fused-E1 classes: default 1024 — measured 2026-08-19
+    (session r5g, espan:4@5e-7 stop) benzene/cc-pVDZ warm 7.908 s vs
+    9.209 s at cap 512 (eri_s 6.394 vs 7.811), fixed-point dev 5.6e-8 vs
+    8.7e-8. Under the retired noise-sensitive diag_rms stop the larger
+    cap perturbed rounding enough to wander the iteration count (r5e:
+    49 -> 74); the espan rule is cap-stable. QCHEM_PL_FUSEDE_CAP=512
+    restores the old tiling."""
+    return int(os.environ.get("QCHEM_PL_FUSEDE_CAP", 1024))
 
 
 def _tile_units(m1: _ClassMeta, m2: _ClassMeta, T1: int, T2: int) -> float:
