@@ -80,6 +80,37 @@ DONATE_CARRY = os.environ.get("QCHEM_DONATE", "1") == "1"
 #: every call far under the watchdog.
 SEG_UNITS = float(os.environ.get("QCHEM_SEG_UNITS", 6e8))
 
+
+def _build_sync() -> bool:
+    """Drain the device queue after each NON-FUSED class-pair task during
+    build() on large systems. Async dispatch allocates every queued call's
+    temporaries up front; the non-fused tile programs hold R2m-scale temps
+    (~TILE_BYTES_BUDGET each), and at naphthalene scale (V2 alone 4.83 GB)
+    a dozen queued calls RESOURCE_EXHAUSTED the 16 GB chip (r5h; same
+    failure class as r5c's 2 GB-budget stacking). Fused-E1 tasks have tiny
+    temps and stay fully async. QCHEM_BUILD_SYNC=0/1 overrides; auto = on
+    when the V2 matrix itself is >= 4 GB."""
+    env = os.environ.get("QCHEM_BUILD_SYNC")
+    if env is not None:
+        return env == "1"
+    return None  # auto: decided per-build from M
+
+
+def _mem_log(tag: str) -> None:
+    """QCHEM_MEM_LOG=1: print device memory stats (when the backend exposes
+    them) at build/prepare phase boundaries — the OOM diagnosis tool."""
+    if os.environ.get("QCHEM_MEM_LOG") != "1":
+        return
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        used = stats.get("bytes_in_use", stats.get("peak_bytes_in_use", -1))
+        peak = stats.get("peak_bytes_in_use", -1)
+        print(f"# mem {tag}: in_use {used/1e9:.2f} GB peak {peak/1e9:.2f} GB",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # axon may not expose memory_stats
+        print(f"# mem {tag}: unavailable ({type(e).__name__})",
+              file=sys.stderr, flush=True)
+
 #: mixed precision: tile blocks whose Schwarz bound product is below this
 #: run the whole tile kernel in float32 (true-hardware VPU/MXU speed instead
 #: of emulated f64). Each such integral is exact to ~rel-1e-6 x bound, BUT
@@ -857,12 +888,21 @@ class TiledEriEngine:
         M = self.layout.M
         V2 = jnp.zeros((M, M), dtype=jnp.float64)
         log = os.environ.get("QCHEM_COMPILE_LOG")
+        sync = _build_sync()
+        if sync is None:
+            sync = 8.0 * M * M >= 4e9
+        _mem_log("build start")
         for name, fn, segments, ospec in self._tasks:
             f = compiled.get(name, fn)
             operands = self.operand_arrays(*ospec)
             t0 = time.perf_counter() if log else 0.0
             for xs in segments:
                 V2 = f(V2, xs, *operands)
+            if sync and not name.endswith("_ple"):
+                # bound the async queue: non-fused programs hold R2m-scale
+                # temps per queued call (see _build_sync)
+                jax.block_until_ready(V2)
+                _mem_log(f"build {name} drained")
             if log:
                 # first call of an uncompiled task includes its compile;
                 # async dispatch means the time lands on the NEXT drain,

@@ -273,8 +273,12 @@ class PairSpaceFockBuilder:
         warm `restricted_hartree_fock` call still measures/performs the
         integral build (builder instances are cached per system)."""
         if force or self._prepared is None:
+            from qchem_rs_tpu.ops.eri_tiled import _mem_log
+
             V2 = self.engine.build()
+            _mem_log("pre-prep (V2 built)")
             self._prepared = self._prep_jit(V2)
+            _mem_log("post-prep")
         return self._prepared
 
     @property
