@@ -255,8 +255,39 @@ class PairSpaceFockBuilder:
                 # — RESOURCE_EXHAUSTED at naphthalene/cc-pVDZ (r5f).
                 from qchem_rs_tpu.ops import fock_matvec as fm
 
+                # THREE programs, not one: a fused mirror+split donates an
+                # f64 V2 whose buffer CANNOT alias the f32 outputs ("donated
+                # buffers were not usable"), so the single-program prep
+                # transiently held V2 + V2f + hi + lo = 3x the pair matrix
+                # (14.5 GB at naphthalene scale -> r5h RESOURCE_EXHAUSTED).
+                # Split up: mirror aliases f64->f64 in place; hi keeps V2f
+                # alive (2.5x); lo donates V2f (freed on completion, peak 3x
+                # -> 9.7 GB, resident 1x after).
+                mp = fm.padded_m(self.M)
+                pad = ((0, mp - self.M), (0, mp - self.M))
+
+                def _hi(V2f):
+                    return jnp.pad(V2f.astype(jnp.float32), pad)
+
+                def _lo(V2f, hi):
+                    unpad = hi[: self.M, : self.M]
+                    return jnp.pad(
+                        (V2f - unpad.astype(jnp.float64)).astype(jnp.float32),
+                        pad,
+                    )
+
+                mirror_j = jax.jit(mirror_inplace, donate_argnums=(0,))
+                hi_j = jax.jit(_hi)
+                lo_j = jax.jit(_lo, donate_argnums=(0,))
+
                 def prep(V2):
-                    return fm.split_terms(mirror_inplace(V2)), None
+                    V2f = mirror_j(V2)
+                    hi = hi_j(V2f)
+                    lo = lo_j(V2f, hi)
+                    return (hi, lo), None
+
+                self._pj = prep
+                return self._pj
             else:
                 def prep(V2):
                     V2f = mirror_inplace(V2)
